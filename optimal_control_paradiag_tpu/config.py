@@ -1,0 +1,118 @@
+"""Configuration dataclasses.
+
+Replaces the reference's module-level constants and PETSc option dicts
+(``Control_Wave_PC.py:335-359``) and the global-variable channel into the
+preconditioner (``Control_Wave_PC.py:361-372``): here every component receives
+an explicit, immutable config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Discretization of the wave-equation optimal-control problem.
+
+    Mirrors ``Optimal_Control_Wave_Equation.__init__`` (reference
+    ``Control_Wave_PC.py:15-45``): unit interval/square, P1 elements,
+    ``dt = T / N_t``, all-at-once unknown ``(u, p)`` with ``N_t`` time slices.
+
+    Attributes:
+      N_x: number of spatial elements per dimension (``UnitIntervalMesh(N_x)``
+        / ``UnitSquareMesh(N_x, N_x)``, ref ``:16-19``).
+      N_t: number of time slices in the all-at-once system (ref ``:26``).
+      T: final time (ref ``:21``).
+      gamma: control regularization coefficient (ref ``:23``).
+      dim: spatial dimension, 1 or 2 (ref ``:27``).
+      scaled: sqrt(gamma) rescaling of the state ("pc" mode, ref ``:56-57,
+        78-80``); required by the ParaDiag preconditioner's unitary
+        diagonalization. The latent reference quirk at ``:138`` (extra
+        sqrt(gamma) on the final u-row stiffness) is deliberately NOT
+        replicated; invisible at the default gamma=1.
+      mass: 'consistent' P1 mass matrix or 'lumped' (row-sum) mass. Lumped is
+        the 2D fast path (sine-transform-diagonalizable); 1D is exactly
+        diagonalizable either way.
+      dtype: real floating dtype for the outer (real-arithmetic) system; the
+        preconditioner uses the matching complex dtype internally.
+    """
+
+    N_x: int
+    N_t: int
+    T: float = 2.0
+    gamma: float = 1.0
+    dim: int = 1
+    scaled: bool = True
+    mass: str = "consistent"
+    dtype: Any = jnp.float64
+
+    def __post_init__(self):
+        if self.dim not in (1, 2):
+            raise ValueError(f"dim must be 1 or 2, got {self.dim}")
+        if self.mass not in ("consistent", "lumped"):
+            raise ValueError(f"mass must be 'consistent' or 'lumped', got {self.mass}")
+        if self.N_x < 2 or self.N_t < 3:
+            raise ValueError("need N_x >= 2 and N_t >= 3")
+
+    @property
+    def dt(self) -> float:
+        """Time step ``T / N_t`` (ref ``Control_Wave_PC.py:24``)."""
+        return self.T / self.N_t
+
+    @property
+    def complex_dtype(self):
+        return jnp.result_type(self.dtype, jnp.complex64)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Outer Krylov + preconditioner options.
+
+    Mirrors the PETSc parameter dicts: the ParaDiag GMRES path
+    (``Control_Wave_PC.py:346-359``: gmres, restart 300, max_it 1000) and the
+    direct-LU baseline (``:186``). PETSc KSP defaults reproduced: left
+    preconditioning, rtol 1e-5 on the preconditioned residual norm.
+
+    Attributes:
+      method: 'gmres' | 'minres' | 'direct' (dense LU baseline, the analogue
+        of the reference's MUMPS path).
+      pc: 'paradiag' | None.
+      pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
+        path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'
+        (per-mode 2x2 eigen-decoupling mirroring the reference math,
+        ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma).
+      restart: GMRES restart length (ref ``:351``).
+      rtol: relative tolerance on the (preconditioned) residual norm.
+      atol: absolute tolerance.
+      maxiter: outer-iteration cap (ref ``:356``).
+      inner_tol / inner_maxiter: for iterative inner mode solves (2D
+        consistent-mass path); ignored by direct inner solves.
+    """
+
+    method: str = "gmres"
+    pc: Optional[str] = "paradiag"
+    pc_variant: str = "fulldiag"
+    restart: int = 300
+    rtol: float = 1e-5
+    atol: float = 1e-50
+    maxiter: int = 1000
+    inner_tol: float = 1e-10
+    inner_maxiter: int = 50
+
+    def __post_init__(self):
+        if self.method not in ("gmres", "minres", "direct"):
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.pc not in (None, "paradiag"):
+            raise ValueError(f"unknown pc {self.pc!r}")
+        if self.pc_variant not in ("fulldiag", "eig"):
+            raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
+
+
+def reference_1d_default() -> ProblemConfig:
+    """The reference's default run config: ``N_x=80, N_t=81, T=2, gamma=1, 1D``
+    (``Control_Wave_PC.py:335-339``)."""
+    return ProblemConfig(N_x=80, N_t=81, T=2.0, gamma=1.0, dim=1)

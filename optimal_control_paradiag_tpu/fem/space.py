@@ -1,0 +1,216 @@
+"""P1 spaces on structured unit-interval / unit-square meshes.
+
+Closed-form element matrices replace Firedrake assembly
+(``Control_Wave_PC.py:16-45`` mesh/space setup; mass ``inner(u,v)*dx`` and
+stiffness ``inner(grad u, grad v)*dx`` appear in every row of ``Build_L``,
+``Control_Wave_PC.py:86-179``):
+
+1D, mesh size ``h = 1/N_x``:
+  element mass ``h/6 [[2,1],[1,2]]`` -> assembled tridiag(h/6, 4h/6, h/6);
+  element stiffness ``1/h [[1,-1],[-1,1]]`` -> tridiag(-1/h, 2/h, -1/h).
+
+2D, Friedrichs-Keller triangulation (squares split along the (+1,+1)
+diagonal):
+  stiffness = the 5-point stencil [[0,-1,0],[-1,4,-1],[0,-1,0]] (h-free);
+  consistent mass = h^2/12 * {center 6; E,W,N,S 1; NE,SW 1}.
+
+Homogeneous Dirichlet BCs (ref ``:43-45``) are imposed by elimination: arrays
+hold interior nodes only, so stencil neighbors outside the domain contribute
+zero -- exact for the reference problems, whose data vanish on the boundary.
+
+TPU-first: operators are applied as dense shift-add stencils (VPU), and both
+matrices are diagonalized by the DST-I sine transform, computed as a matmul
+with the symmetric sine matrix (MXU) -- any symmetric Toeplitz tridiagonal
+``tridiag(a, b, a)`` of size ``n`` has eigenvectors ``sin(ij*pi/(n+1))`` and
+eigenvalues ``b + 2a cos(j*pi/(n+1))``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
+
+
+def _shift_last(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """y[..., i] = x[..., i-s], zero-padded (Dirichlet-eliminated neighbors)."""
+    if s == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1)
+    if s > 0:
+        return jnp.pad(x[..., :-s], pad + [(s, 0)])
+    return jnp.pad(x[..., -s:], pad + [(0, -s)])
+
+
+def _shift2(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    """y[..., iy, ix] = x[..., iy-sy, ix-sx], zero-padded; x is (..., ny, nx)."""
+    y = _shift_last(x, sx)
+    if sy == 0:
+        return y
+    pad = [(0, 0)] * (x.ndim - 2)
+    if sy > 0:
+        return jnp.pad(y[..., :-sy, :], pad + [(sy, 0), (0, 0)])
+    return jnp.pad(y[..., -sy:, :], pad + [(0, -sy), (0, 0)])
+
+
+@dataclasses.dataclass(frozen=True)
+class P1Space:
+    """Interior-DoF P1 space with stencil operators and sine-transform data.
+
+    All vector arguments have shape ``(..., n)`` with the flat interior-node
+    axis last (2D flattening is row-major over ``(ny, nx)``).
+    """
+
+    dim: int
+    N_x: int
+    mass: str  # 'consistent' | 'lumped'
+    dtype: Any
+
+    @property
+    def h(self) -> float:
+        return 1.0 / self.N_x
+
+    @property
+    def n1d(self) -> int:
+        """Interior nodes per dimension."""
+        return self.N_x - 1
+
+    @property
+    def grid_shape(self) -> Tuple[int, ...]:
+        return (self.n1d,) * self.dim
+
+    @property
+    def n(self) -> int:
+        """Total interior DoFs."""
+        return self.n1d**self.dim
+
+    # ---------------------------------------------------------------- coords
+
+    @functools.cached_property
+    def coords(self) -> Tuple[np.ndarray, ...]:
+        """Interior node coordinates, each flat of length ``n``: (x,) or (x, y)."""
+        pts = (np.arange(1, self.N_x) / self.N_x).astype(np.float64)
+        if self.dim == 1:
+            return (pts,)
+        X, Y = np.meshgrid(pts, pts, indexing="xy")  # rows iy, cols ix
+        return (X.ravel(), Y.ravel())
+
+    def interpolate(self, fn: Callable[..., Any]) -> np.ndarray:
+        """Nodal interpolation of ``fn(x)`` / ``fn(x, y)`` onto interior nodes
+        -- returned as a host (numpy) array; callers ship it to device with
+        :func:`utils.constants.to_device` or pass it into a jitted function.
+
+        The P1 analogue of Firedrake ``interpolate`` used for f, g, ICs
+        (``Control_Wave_PC.py:48-83``).
+        """
+        return host_const(np.asarray(fn(*self.coords), dtype=np.float64), self.dtype)
+
+    # ------------------------------------------------------------- operators
+
+    def apply_mass(self, x: jnp.ndarray) -> jnp.ndarray:
+        """M @ x over the last axis, batched over leading axes."""
+        h = self.h  # python float: weak-typed, no eager dtype dispatch
+        if self.mass == "lumped":
+            return (h**self.dim) * x
+        if self.dim == 1:
+            return (h / 6.0) * (4.0 * x + _shift_last(x, 1) + _shift_last(x, -1))
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        acc = 6.0 * g
+        for sy, sx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (-1, -1)):
+            acc = acc + _shift2(g, sy, sx)
+        return ((h * h / 12.0) * acc).reshape(x.shape)
+
+    def apply_stiffness(self, x: jnp.ndarray) -> jnp.ndarray:
+        """K @ x over the last axis, batched over leading axes."""
+        h = self.h  # python float: weak-typed, no eager dtype dispatch
+        if self.dim == 1:
+            return (1.0 / h) * (2.0 * x - _shift_last(x, 1) - _shift_last(x, -1))
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        acc = 4.0 * g
+        for sy, sx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            acc = acc - _shift2(g, sy, sx)
+        return acc.reshape(x.shape)
+
+    # -------------------------------------------------------- sine transform
+
+    @functools.cached_property
+    def dst_matrix(self) -> np.ndarray:
+        """Symmetric DST-I matrix ``V[i,j] = sin((i+1)(j+1)pi/N_x)``;
+        ``V @ V = (N_x/2) I``. Kept as a host (numpy) constant: jit embeds it
+        in the compiled program, avoiding eager device ops entirely (the TPU
+        backend only lowers compiled programs)."""
+        i = np.arange(1, self.N_x)
+        V = np.sin(np.pi * np.outer(i, i) / self.N_x)
+        return host_const(V, self.dtype)
+
+    def dst(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward sine transform over the (flat) space axis.
+
+        Complex inputs are split into two real matmuls (the transform matrix
+        is real): complex matmuls do not lower on the TPU backend, and two
+        real MXU matmuls are the fast path regardless."""
+        if jnp.iscomplexobj(x):
+            return jax.lax.complex(self.dst(x.real), self.dst(x.imag))
+        V = self.dst_matrix
+        if self.dim == 1:
+            return x @ V
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        g = jnp.einsum("...yx,xj->...yj", g, V)
+        g = jnp.einsum("...yx,yj->...jx", g, V)
+        return g.reshape(x.shape)
+
+    def idst(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inverse sine transform: ``(2/N_x)^dim`` times the forward map."""
+        return self.dst(x) * ((2.0 / self.N_x) ** self.dim)
+
+    @functools.cached_property
+    def spectrum(self) -> Tuple[Optional[np.ndarray], np.ndarray]:
+        """(mass eigenvalues, stiffness eigenvalues) in the sine basis, each
+        flat of length ``n`` -- or ``(None, muK)`` when the mass matrix is not
+        sine-diagonalizable (2D consistent mass, whose diagonal-neighbor
+        stencil term is not a tensor-product symmetric combination)."""
+        j = np.arange(1, self.N_x)
+        c = np.cos(np.pi * j / self.N_x)
+        if self.dim == 1:
+            muK = (2.0 / self.h) * (1.0 - c)
+            if self.mass == "lumped":
+                muM = np.full_like(muK, self.h)
+            else:
+                muM = (self.h / 6.0) * (4.0 + 2.0 * c)
+            return (host_const(muM, self.dtype), host_const(muK, self.dtype))
+        ky = 2.0 * (1.0 - c)[:, None]
+        kx = 2.0 * (1.0 - c)[None, :]
+        muK = (ky + kx).ravel()
+        if self.mass == "lumped":
+            muM = np.full_like(muK, self.h * self.h)
+            return (host_const(muM, self.dtype), host_const(muK, self.dtype))
+        return (None, host_const(muK, self.dtype))
+
+    @property
+    def diagonalizable(self) -> bool:
+        """True when both M and K are diagonalized by the sine transform."""
+        return self.spectrum[0] is not None
+
+    # --------------------------------------------------------------- dense
+
+    def mass_dense(self) -> np.ndarray:
+        """Dense interior mass matrix (test oracle / small direct solves)."""
+        return self._densify(self.apply_mass)
+
+    def stiffness_dense(self) -> np.ndarray:
+        """Dense interior stiffness matrix (test oracle / small direct solves)."""
+        return self._densify(self.apply_stiffness)
+
+    def _densify(self, op) -> np.ndarray:
+        eye = jnp.eye(self.n, dtype=self.dtype)
+        return np.asarray(op(eye)).T
+
+
+def make_space(dim: int, N_x: int, mass: str = "consistent", dtype=jnp.float64) -> P1Space:
+    return P1Space(dim=dim, N_x=N_x, mass=mass, dtype=dtype)

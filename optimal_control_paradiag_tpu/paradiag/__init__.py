@@ -1,0 +1,10 @@
+"""The ParaDiag block-circulant preconditioner.
+
+FFT diagonalization in time + per-Fourier-mode decoupling of the (state,
+adjoint) pair, replacing the reference's ``DiagFFTPC``
+(``Control_Wave_PC.py:376-558``)."""
+
+from optimal_control_paradiag_tpu.paradiag.eigs import CirculantEigs, circulant_eigs
+from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
+
+__all__ = ["CirculantEigs", "circulant_eigs", "build_preconditioner"]

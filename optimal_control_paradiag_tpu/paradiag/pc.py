@@ -1,0 +1,203 @@
+"""The ParaDiag preconditioner apply -- one jitted pure function.
+
+Replaces ``DiagFFTPC`` (``Control_Wave_PC.py:376-558``). Two variants, both
+applying the *same* operator P^{-1}, where P is the block-circulant analogue of
+the all-at-once matrix (time stencils replaced by circulants):
+
+'eig' -- mirrors the reference's 7-step apply (ref ``:491-555``):
+  ifft over time -> S^{-1} 2x2 mix -> per-mode complex-shifted solves
+  (Sigma_i M + dt^2/2 K) -> S mix -> divide by (Lambda_2, conj Lambda_2) ->
+  fft back. The reference's Riesz map (ref ``:506``) and the mass factor in
+  its RHS form (ref ``:444-457``) cancel exactly because the 2x2 mixing is
+  scalar per mode (commutes with M), so neither appears here. Inner solves use
+  the sine-transform spatial diagonalization instead of MUMPS LU (ref
+  ``:480-484``): (Sigma M + c K)^{-1} = V diag(1/(Sigma muM_j + c muK_j)) V^{-1}.
+
+'fulldiag' -- the TPU-native redesign: observe that the net per-mode operator
+  (after folding the deferred Lambda_2 row scaling back in) is exactly
+
+    P_k = [[ L1 M + c L2 K,        -dt^2/sqrt(g) M ],
+           [ dt^2/sqrt(g) M,  conj(L1) M + c conj(L2) K ]],   c = dt^2/2,
+
+  so after FFT(time) + DST(space) the whole system is diagonal 2x2 blocks per
+  (mode k, wavenumber j), solved in closed form by Cramer's rule with
+
+    det = |L1 muM + c L2 muK|^2 + (dt^2/sqrt(g) muM)^2 > 0,
+
+  which is strictly positive -- robust even at modes where Lambda_2(k) ~ 0
+  (N_t divisible by 4), where the reference's eig route divides by ~1e-16.
+  Cost: one FFT + one MXU matmul (DST) each way + elementwise math. No sparse
+  LU, no LAPACK, no scatter/gather.
+
+Both variants produce identical results to floating-point accuracy on
+sine-diagonalizable spaces (tested), hence identical outer iteration counts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.utils.constants import host_const
+
+from optimal_control_paradiag_tpu.ops import transforms
+from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
+from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
+
+
+def build_preconditioner(
+    op: AllAtOnceOperator,
+    variant: str = "fulldiag",
+    inner_solver: Optional[Callable] = None,
+    layout=None,
+    time_transform: Optional[str] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Return a jittable ``apply(r) -> y ~= P^{-1} r`` on ``(2, N_t, n)`` states.
+
+    ``inner_solver(sigma, rhs)``, if given, overrides the per-mode spatial
+    solve of the 'eig' variant: it receives per-mode complex shifts ``sigma``
+    of shape (N_t,) and right-hand sides ``(N_t, n)`` and must return the
+    solutions of ``(sigma_k M + dt^2/2 K) w_k = rhs_k`` (used by the 2D
+    consistent-mass path, where M is not sine-diagonalizable).
+
+    ``layout`` (a :class:`parallel.sharding.ParallelLayout`), if given, pins
+    each pipeline stage to its optimal sharding: time-local for the FFT,
+    mode-local for the spatial transform/inner solves, canonical on exit --
+    XLA inserts the all-to-all transposes between stages (SURVEY.md 5.7-5.8).
+
+    ``time_transform``: 'fft' (``jnp.fft``; single-device default) or 'dft'
+    (real-matmul DFT from :mod:`ops.transforms`; default when ``layout`` is
+    given -- XLA's SPMD partitioning of complex128 FFTs miscompiles, and the
+    matmul form shards freely and hits the MXU).
+    """
+    if time_transform is None:
+        time_transform = "dft" if layout is not None else "fft"
+    if time_transform not in ("fft", "dft"):
+        raise ValueError(f"unknown time_transform {time_transform!r}")
+    if layout is None:
+        class _Identity:
+            canonical = staticmethod(lambda x: x)
+            time_local = staticmethod(lambda x: x)
+            mode_local = staticmethod(lambda x: x)
+
+        layout = _Identity()
+    if not op.scaled:
+        raise ValueError(
+            "The ParaDiag preconditioner requires the sqrt(gamma)-scaled "
+            "system (reference 'pc' mode, Control_Wave_PC.py:56-57)."
+        )
+    sp = op.space
+    rdtype = sp.dtype
+    cdtype = jnp.result_type(rdtype, jnp.complex64)
+    e = circulant_eigs(op.N_t, op.dt, op.gamma)
+    c = 0.5 * op.dt * op.dt
+    if time_transform == "dft":
+        Cm, Sm = transforms.dft_matrices(op.N_t, rdtype)
+
+        def ifft_t(r):  # real input
+            return transforms.time_ifft_real_mm(r, Cm, Sm)
+
+        def ifft_t_c(r):  # complex input (eig path re-dispatch)
+            return transforms.time_ifft_mm(r, Cm, Sm)
+
+        def fft_t_real(y):  # complex input -> real(fft(y))
+            return transforms.time_fft_real_part_mm(y, Cm, Sm)
+
+    else:
+
+        def ifft_t(r):
+            return jnp.fft.ifft(r.astype(cdtype), axis=1)
+
+        def fft_t_real(y):
+            return jnp.fft.fft(y, axis=1).real
+    # Materialize lazily-cached transform data eagerly: first touch must not
+    # happen inside a jit trace, or the cache would hold a leaked tracer.
+    _ = sp.dst_matrix
+    _ = sp.spectrum
+
+    if variant == "fulldiag":
+        muM, muK = sp.spectrum
+        if muM is None:
+            raise ValueError(
+                "fulldiag requires a sine-diagonalizable mass matrix "
+                "(1D, or 2D with mass='lumped'); use variant='eig' with an "
+                "iterative inner_solver for 2D consistent mass."
+            )
+        # All constants are built in numpy (complex128) and shipped to the
+        # device once: eager complex ops are unsupported on the TPU backend
+        # (only compiled complex lowers), and float64 setup keeps full
+        # precision before the final cast.
+        L1 = np.asarray(e.Lambda1)[:, None]
+        L2 = np.asarray(e.Lambda2)[:, None]
+        muM_h = np.asarray(muM, np.float64)[None, :]
+        muK_h = np.asarray(muK, np.float64)[None, :]
+        a11_h = L1 * muM_h + c * L2 * muK_h  # (N_t, n)
+        coup_h = (op.dt * op.dt / (op.gamma**0.5)) * muM_h  # (1, n) real
+        det_h = np.abs(a11_h) ** 2 + coup_h * coup_h
+        # Host (numpy) constants: embedded into the compiled program by jit,
+        # so no eager device op ever runs (the TPU backend rejects those).
+        a11 = host_const(a11_h, cdtype)
+        a22 = host_const(np.conj(a11_h), cdtype)
+        coup = host_const(coup_h, rdtype)
+        det = host_const(det_h, rdtype)
+
+        def apply_fulldiag(r: jnp.ndarray) -> jnp.ndarray:
+            rhat = ifft_t(layout.time_local(r))
+            rt = sp.dst(layout.mode_local(rhat))
+            ru, rp = rt[0], rt[1]
+            yu = (a22 * ru + coup * rp) / det  # -a12 = +coup
+            yp = (a11 * rp - coup * ru) / det  # a21 = +coup
+            yt = sp.idst(jnp.stack([yu, yp]))
+            y = fft_t_real(layout.time_local(yt))
+            return layout.canonical(y.astype(rdtype))
+
+        return apply_fulldiag
+
+    if variant != "eig":
+        raise ValueError(f"unknown variant {variant!r}")
+
+    # Reshapes/conjugations happen in numpy: eager complex ops are
+    # unsupported on the TPU backend (only compiled complex lowers).
+    S1 = host_const(np.asarray(e.S1)[:, None], cdtype)
+    S2 = host_const(np.asarray(e.S2)[:, None], cdtype)
+    Sig1 = host_const(np.asarray(e.Sigma1)[:, None], cdtype)
+    Sig2 = host_const(np.asarray(e.Sigma2)[:, None], cdtype)
+    L2 = host_const(np.asarray(e.Lambda2)[:, None], cdtype)
+    L2c = host_const(np.conj(e.Lambda2)[:, None], cdtype)
+
+    if inner_solver is None:
+        muM, muK = sp.spectrum
+        if muM is None:
+            raise ValueError(
+                "2D consistent mass needs an iterative inner_solver "
+                "(see paradiag.inner.make_cocg_inner_solver)."
+            )
+        muM = host_const(np.asarray(muM)[None, :], rdtype)
+        muK = host_const(np.asarray(muK)[None, :], rdtype)
+
+        def inner_solver(sigma, rhs):
+            return sp.idst(sp.dst(rhs) / (sigma * muM + c * muK))
+
+    def apply_eig(r: jnp.ndarray) -> jnp.ndarray:
+        rhat = ifft_t(layout.time_local(r))
+        rhat = layout.mode_local(rhat)
+        ru, rp = rhat[0], rhat[1]
+        # S^{-1} mix (det S = 2; ref :444-457 folded the mass in, which
+        # cancels against the Riesz map at ref :506).
+        wu = 0.5 * (ru - S2 * rp)
+        wp = 0.5 * (rp - S1 * ru)
+        # Per-mode complex-shifted solves (ref :459-473, :512).
+        wu = inner_solver(Sig1, wu)
+        wp = inner_solver(Sig2, wp)
+        # S mix (ref :515-529).
+        yu = wu + S2 * wp
+        yp = S1 * wu + wp
+        # Deferred row scaling (ref :531-540).
+        yu = yu / L2
+        yp = yp / L2c
+        y = fft_t_real(layout.time_local(jnp.stack([yu, yp])))
+        return layout.canonical(y.astype(rdtype))
+
+    return apply_eig

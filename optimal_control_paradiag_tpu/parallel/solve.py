@@ -1,0 +1,50 @@
+"""Sharded end-to-end solve: the multi-chip entry point.
+
+One jitted program: RHS in the canonical layout -> preconditioned GMRES whose
+operator and PC carry stage-wise sharding constraints -> solution in the
+canonical layout. XLA places the collectives (all-to-all for the FFT/DST
+layout changes, collective-permute halos for stencils, psums for dot
+products) -- the TPU-native replacement for the reference's
+Firedrake/PETSc-MPI parallel layer (SURVEY.md section 2.3, 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from optimal_control_paradiag_tpu.config import SolverConfig
+from optimal_control_paradiag_tpu.krylov.gmres import gmres
+from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
+from optimal_control_paradiag_tpu.parallel.sharding import ParallelLayout
+
+
+def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: ParallelLayout):
+    """Build a jitted ``solve(b) -> (x, GmresResult)`` sharded over
+    ``layout.mesh``; ``b`` and ``x`` use the canonical (time+space sharded)
+    layout."""
+    solver = solver or SolverConfig()
+    op = problem.operator
+    pc_apply = None
+    if solver.pc == "paradiag":
+        pc_apply = build_preconditioner(op, variant=solver.pc_variant, layout=layout)
+
+    def matvec(x):
+        return layout.canonical(op.matvec(layout.canonical(x)))
+
+    state_sharding = layout.sharding(layout.canonical_spec)
+
+    def run(b):
+        res = gmres(
+            matvec,
+            b,
+            M=pc_apply,
+            restart=solver.restart,
+            rtol=solver.rtol,
+            atol=solver.atol,
+            maxiter=solver.maxiter,
+        )
+        return res.x, res
+
+    return jax.jit(run, in_shardings=(state_sharding,)), state_sharding

@@ -1,0 +1,121 @@
+"""Integration tests: manufactured-solution validation, convergence order,
+and the cross-solver oracle (ParaDiag-GMRES vs dense LU, the reference's
+pc=False MUMPS path analogue).
+
+On metrics: the reference's published table (BASELINE.md) is not reproducible
+from its own current equations -- its ``write()`` output mapping lags the
+staggering its ``Build_L`` rows enforce by one step (full analysis in
+VALIDATION.md). We therefore pin (a) regression values of the
+reference-metric-as-coded, (b) second-order convergence of the lag-corrected
+aligned metric, (c) cross-solver agreement, (d) mesh-independent O(10)
+ParaDiag iteration counts.
+"""
+
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu.config import ProblemConfig, SolverConfig
+from optimal_control_paradiag_tpu.models.wave import WaveControlProblem
+
+# Regression pins for this framework's faithful transcription of the reference
+# system (rtol 1e-10 solves; see VALIDATION.md for why these differ from the
+# reference's published plot.py table).
+REFMETRIC_PINNED = {
+    5: 3.892978733745,
+    10: 2.521856821760,
+    15: 1.831793732973,
+    20: 1.471805694944,
+}
+ALIGNED_PINNED = {
+    5: 2.800438672622,
+    10: 1.403822833010,
+    15: 0.819026042513,
+    20: 0.544594305396,
+}
+
+
+@pytest.mark.parametrize("N", [5, 10, 15, 20])
+def test_1d_error_metrics_regression(N):
+    prob = WaveControlProblem(ProblemConfig(N_x=N, N_t=N))
+    sol = prob.solve(SolverConfig(rtol=1e-10))
+    assert bool(sol.result.converged)
+    np.testing.assert_allclose(prob.error_vs_analytic(sol), REFMETRIC_PINNED[N], rtol=1e-6)
+    np.testing.assert_allclose(prob.error_aligned(sol), ALIGNED_PINNED[N], rtol=1e-6)
+
+
+def test_aligned_metric_second_order():
+    """Per-node O(dt^2) == O(N^-1.5) in the growing nodal-l2 norm (the norm
+    itself grows like sqrt(N); see VALIDATION.md)."""
+    errs = {}
+    for N in (20, 40, 80):
+        prob = WaveControlProblem(ProblemConfig(N_x=N, N_t=N))
+        sol = prob.solve(SolverConfig(rtol=1e-10))
+        errs[N] = prob.error_aligned(sol)
+    order1 = np.log2(errs[20] / errs[40])
+    order2 = np.log2(errs[40] / errs[80])
+    assert 1.3 < order1 < 1.7
+    assert 1.3 < order2 < 1.7
+
+
+def test_cross_solver_oracle_direct_vs_paradiag():
+    cfg = ProblemConfig(N_x=10, N_t=11)
+    prob = WaveControlProblem(cfg)
+    sol_pc = prob.solve(SolverConfig(rtol=1e-12))
+    sol_lu = prob.solve(SolverConfig(method="direct"))
+    np.testing.assert_allclose(np.asarray(sol_pc.u), np.asarray(sol_lu.u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_pc.p), np.asarray(sol_lu.p), atol=1e-8)
+
+
+def test_unscaled_direct_matches_scaled_paradiag():
+    """pc=False path (ref :573-577): unscaled direct solve gives the same
+    physical solution as the scaled ParaDiag solve."""
+    cfg_s = ProblemConfig(N_x=8, N_t=9, gamma=0.5, scaled=True)
+    cfg_u = ProblemConfig(N_x=8, N_t=9, gamma=0.5, scaled=False)
+    sol_s = WaveControlProblem(cfg_s).solve(SolverConfig(rtol=1e-12))
+    sol_u = WaveControlProblem(cfg_u).solve(SolverConfig(method="direct", pc=None))
+    np.testing.assert_allclose(np.asarray(sol_s.u), np.asarray(sol_u.u), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol_s.p), np.asarray(sol_u.p), atol=1e-7)
+
+
+def test_outer_iterations_mesh_independent():
+    """ParaDiag's selling point: O(10) outer iterations, roughly independent
+    of resolution (SURVEY.md section 6 theoretical expectation)."""
+    iters = []
+    for N in (10, 20, 40):
+        prob = WaveControlProblem(ProblemConfig(N_x=N, N_t=N))
+        sol = prob.solve(SolverConfig(rtol=1e-8))
+        assert bool(sol.result.converged)
+        iters.append(int(sol.result.iterations))
+    assert max(iters) <= 30
+    assert max(iters) <= min(iters) + 10
+
+
+def test_residual_check():
+    prob = WaveControlProblem(ProblemConfig(N_x=10, N_t=11))
+    sol = prob.solve(SolverConfig(rtol=1e-10))
+    bnorm = float(np.linalg.norm(np.asarray(prob.rhs).reshape(-1)))
+    assert float(prob.residual_norm(sol)) < 1e-8 * max(bnorm, 1.0)
+
+
+def test_eig_variant_same_iterations():
+    cfg = ProblemConfig(N_x=12, N_t=13)
+    prob = WaveControlProblem(cfg)
+    it_f = int(prob.solve(SolverConfig(rtol=1e-8, pc_variant="fulldiag")).result.iterations)
+    it_e = int(prob.solve(SolverConfig(rtol=1e-8, pc_variant="eig")).result.iterations)
+    assert abs(it_f - it_e) <= 1
+
+
+def test_2d_lumped_end_to_end():
+    """First-class 2D (the reference scaffolds but never wires 2D,
+    SURVEY.md section 0.5): lumped-mass fast path converges and the aligned
+    error shrinks under refinement."""
+    cfg = ProblemConfig(N_x=8, N_t=10, dim=2, mass="lumped")
+    prob = WaveControlProblem(cfg)
+    sol = prob.solve(SolverConfig(rtol=1e-8))
+    assert bool(sol.result.converged)
+    err = prob.error_aligned(sol)
+    cfg2 = ProblemConfig(N_x=16, N_t=20, dim=2, mass="lumped")
+    prob2 = WaveControlProblem(cfg2)
+    sol2 = prob2.solve(SolverConfig(rtol=1e-8))
+    err2 = prob2.error_aligned(sol2)
+    assert err2 < err  # refining shrinks the error

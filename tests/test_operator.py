@@ -1,0 +1,77 @@
+"""The vectorized matrix-free operator vs the independent dense oracle
+(``ops/dense_oracle`` transcribes ``Build_L`` row by row)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu.fem.space import make_space
+from optimal_control_paradiag_tpu.models.analytic import manufactured
+from optimal_control_paradiag_tpu.ops.allatonce import build_operator, build_rhs
+from optimal_control_paradiag_tpu.ops.dense_oracle import assemble_dense
+
+
+def _data(sp, N_t, dt, T, gamma, dim):
+    an = manufactured(dim, T, gamma)
+    f = np.stack([np.asarray(sp.interpolate(lambda *x: an.f(*x, i * dt))) for i in range(N_t)])
+    g = np.stack([np.asarray(sp.interpolate(lambda *x: an.g(*x, (i + 1) * dt))) for i in range(N_t)])
+    u0 = np.asarray(sp.interpolate(an.u0))
+    u1 = np.asarray(sp.interpolate(an.u1))
+    return f, g, u0, u1
+
+
+@pytest.mark.parametrize(
+    "dim,N_x,N_t,gamma,scaled,mass",
+    [
+        (1, 6, 7, 1.0, True, "consistent"),
+        (1, 6, 7, 1.0, False, "consistent"),
+        (1, 5, 8, 0.25, True, "consistent"),
+        (1, 5, 8, 0.25, False, "consistent"),
+        (2, 4, 5, 1.0, True, "consistent"),
+        (2, 4, 5, 2.0, True, "lumped"),
+    ],
+)
+def test_matvec_matches_dense_oracle(dim, N_x, N_t, gamma, scaled, mass):
+    T = 2.0
+    dt = T / N_t
+    sp = make_space(dim, N_x, mass=mass)
+    op = build_operator(sp, N_t, dt, gamma, scaled=scaled)
+    scale = np.sqrt(gamma) if scaled else 1.0
+    f, g, u0, u1 = _data(sp, N_t, dt, T, gamma, dim)
+
+    A, b = assemble_dense(sp, N_t, dt, gamma, scaled, scale * f, g, scale * u0, scale * u1)
+
+    rng = np.random.default_rng(42)
+    for _ in range(3):
+        x = rng.standard_normal((2, N_t, sp.n))
+        got = np.asarray(op.matvec(jnp.asarray(x))).reshape(-1)
+        want = A @ x.reshape(-1)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    b_got = np.asarray(
+        build_rhs(
+            op,
+            jnp.asarray(scale * f),
+            jnp.asarray(g),
+            jnp.asarray(scale * u0),
+            jnp.asarray(scale * u1),
+        )
+    ).reshape(-1)
+    np.testing.assert_allclose(b_got, b, atol=1e-12)
+
+
+def test_scaled_and_unscaled_solutions_agree():
+    """Scaled (pc) and unscaled systems describe the same physical problem:
+    u_hat = sqrt(gamma) u, p identical (ref :249-250, 281-292)."""
+    dim, N_x, N_t, T, gamma = 1, 6, 7, 2.0, 0.5
+    dt = T / N_t
+    sp = make_space(dim, N_x)
+    f, g, u0, u1 = _data(sp, N_t, dt, T, gamma, dim)
+    scale = np.sqrt(gamma)
+
+    A_s, b_s = assemble_dense(sp, N_t, dt, gamma, True, scale * f, g, scale * u0, scale * u1)
+    A_u, b_u = assemble_dense(sp, N_t, dt, gamma, False, f, g, u0, u1)
+    xs = np.linalg.solve(A_s, b_s).reshape(2, N_t, sp.n)
+    xu = np.linalg.solve(A_u, b_u).reshape(2, N_t, sp.n)
+    np.testing.assert_allclose(xs[0] / scale, xu[0], atol=1e-9)
+    np.testing.assert_allclose(xs[1], xu[1], atol=1e-9)

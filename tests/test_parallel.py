@@ -1,0 +1,54 @@
+"""Distributed tests on the 8-virtual-CPU-device mesh (conftest sets
+``--xla_force_host_platform_device_count=8``) -- the multi-host test
+capability the reference lacks (SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu.config import ProblemConfig, SolverConfig
+from optimal_control_paradiag_tpu.models.wave import WaveControlProblem
+from optimal_control_paradiag_tpu.parallel.sharding import make_layout, make_mesh
+from optimal_control_paradiag_tpu.parallel.solve import make_sharded_solver
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+@pytest.mark.parametrize("n_time,n_space", [(8, 1), (4, 2), (2, 2)])
+def test_sharded_solve_matches_single_device(n_time, n_space):
+    nd = n_time * n_space
+    _require_devices(nd)
+    N_t, N_x = 16, 17  # N_t % 8 == 0, n = 16 % 8 == 0
+    prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t))
+    solver = SolverConfig(rtol=1e-10)
+    ref = prob.solve(solver)
+
+    layout = make_layout(n_time, n_space)
+    run, sharding = make_sharded_solver(prob, solver, layout)
+    b = jax.device_put(prob.rhs, sharding)
+    x, res = run(b)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-8)
+    assert int(res.iterations) == int(ref.result.iterations)
+
+
+def test_mesh_construction():
+    _require_devices(8)
+    mesh = make_mesh(4, 2)
+    assert mesh.axis_names == ("time", "space")
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(16, 2)
+
+
+def test_graft_entry_single_and_multichip():
+    import __graft_entry__ as ge
+
+    step, (x0, b) = ge.entry()
+    y = jax.jit(step)(x0, b)
+    assert y.shape == x0.shape
+    ge.dryrun_multichip(8)
