@@ -84,7 +84,12 @@ class SolverConfig:
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'
         (per-mode 2x2 eigen-decoupling mirroring the reference math,
-        ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma).
+        ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma) or 'block'
+        (coupled per-mode 2x2-block COCG solve -- no Lambda_2 division, the
+        robust path for 2D consistent mass and N_t divisible by 4).
+      inner: per-mode inner solver for the 'eig' variant: 'auto' (pick the
+        right one: spectral when diagonalizable, COCG for 2D consistent
+        mass), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), or 'cocg'.
       restart: GMRES restart length (ref ``:351``).
       rtol: relative tolerance on the (preconditioned) residual norm.
       atol: absolute tolerance.
@@ -96,6 +101,7 @@ class SolverConfig:
     method: str = "gmres"
     pc: Optional[str] = "paradiag"
     pc_variant: str = "fulldiag"
+    inner: str = "auto"
     restart: int = 300
     rtol: float = 1e-5
     atol: float = 1e-50
@@ -108,8 +114,10 @@ class SolverConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.pc not in (None, "paradiag"):
             raise ValueError(f"unknown pc {self.pc!r}")
-        if self.pc_variant not in ("fulldiag", "eig"):
+        if self.pc_variant not in ("fulldiag", "eig", "block", "blockdense"):
             raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
+        if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"):
+            raise ValueError(f"unknown inner solver {self.inner!r}")
 
 
 def reference_1d_default() -> ProblemConfig:

@@ -158,11 +158,14 @@ class P1Space:
         if jnp.iscomplexobj(x):
             return jax.lax.complex(self.dst(x.real), self.dst(x.imag))
         V = self.dst_matrix
+        # HIGHEST: the MXU's default bf16 matmul precision destroys the
+        # preconditioner's accuracy (and with it the outer iteration count).
+        hi = jax.lax.Precision.HIGHEST
         if self.dim == 1:
-            return x @ V
+            return jnp.matmul(x, V, precision=hi)
         g = x.reshape(x.shape[:-1] + self.grid_shape)
-        g = jnp.einsum("...yx,xj->...yj", g, V)
-        g = jnp.einsum("...yx,yj->...jx", g, V)
+        g = jnp.einsum("...yx,xj->...yj", g, V, precision=hi)
+        g = jnp.einsum("...yx,yj->...jx", g, V, precision=hi)
         return g.reshape(x.shape)
 
     def idst(self, x: jnp.ndarray) -> jnp.ndarray:

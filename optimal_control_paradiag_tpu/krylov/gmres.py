@@ -112,10 +112,12 @@ def gmres(
             w = M(matvec(V[k]))
             # CGS2 orthogonalization against V[0..k] (mask rows > k).
             mask = (jnp.arange(restart + 1) <= k).astype(rdtype)
+            hi = jax.lax.Precision.HIGHEST
             proj = lambda Vc, ww: jnp.tensordot(
-                Vc.conj(), ww, axes=(tuple(a + 1 for a in saxes), saxes)
+                Vc.conj(), ww, axes=(tuple(a + 1 for a in saxes), saxes),
+                precision=hi,
             )
-            expand = lambda coef: jnp.tensordot(coef, V, axes=([0], [0]))
+            expand = lambda coef: jnp.tensordot(coef, V, axes=([0], [0]), precision=hi)
             h1 = proj(V, w) * mask
             w = w - expand(h1)
             h2 = proj(V, w) * mask
@@ -162,7 +164,9 @@ def gmres(
         Rpad = Rpad + jnp.diag(jnp.where(active, 0.0, 1.0).astype(dtype))
         gpad = jnp.where(active, g[:restart], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rpad, gpad, lower=False)
-        x = x + jnp.tensordot(y, V[:restart], axes=([0], [0]))
+        x = x + jnp.tensordot(
+            y, V[:restart], axes=([0], [0]), precision=jax.lax.Precision.HIGHEST
+        )
         return x, base_it + k, res, hist
 
     def outer_cond(state):

@@ -22,6 +22,11 @@ from optimal_control_paradiag_tpu.fem.space import P1Space, make_space
 from optimal_control_paradiag_tpu.krylov.gmres import GmresResult, gmres
 from optimal_control_paradiag_tpu.models.analytic import manufactured
 from optimal_control_paradiag_tpu.ops.allatonce import build_operator, build_rhs
+from optimal_control_paradiag_tpu.paradiag.inner import (
+    make_cocg_inner_solver,
+    make_dst_inner_solver,
+    make_tridiag_inner_solver,
+)
 from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
 from optimal_control_paradiag_tpu.utils.constants import to_device
 
@@ -107,7 +112,34 @@ class WaveControlProblem:
 
         pc_apply = None
         if solver.pc == "paradiag":
-            pc_apply = build_preconditioner(op, variant=solver.pc_variant)
+            variant = solver.pc_variant
+            inner = None
+            cfg = self.config
+            if solver.inner == "auto":
+                if not self.space.diagonalizable:
+                    # 2D consistent mass: exact per-mode dense block inverses
+                    # (the MUMPS analogue) when memory allows; otherwise the
+                    # best-effort coupled block-COCG (see pc.py notes on
+                    # indefinite-Helmholtz modes).
+                    n = self.space.n
+                    if cfg.N_t * (2 * n) ** 2 <= 3e8:
+                        variant = "blockdense"
+                    else:
+                        variant = "block"
+            elif solver.inner == "dst":
+                variant = "eig"
+                inner = make_dst_inner_solver(self.space, cfg.dt)
+            elif solver.inner in ("tridiag_thomas", "tridiag_pcr"):
+                variant = "eig"
+                inner = make_tridiag_inner_solver(
+                    self.space, cfg.dt, method=solver.inner.split("_")[1]
+                )
+            elif solver.inner == "cocg":
+                variant = "eig"
+                inner = make_cocg_inner_solver(
+                    self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
+                )
+            pc_apply = build_preconditioner(op, variant=variant, inner_solver=inner)
 
         @jax.jit
         def run(b):

@@ -34,13 +34,16 @@ def dft_matrices(N: int, dtype) -> Tuple[np.ndarray, np.ndarray]:
     return host_const(np.cos(ang), dtype), host_const(np.sin(ang), dtype)
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _apply(C, S, xr, xi, sign: int, scale: float):
     """(C + sign*i*S)(xr + i*xi) * scale over the time axis (axis 1 of
     ``(2, N_t, n)`` states), as real contractions."""
-    cr = jnp.einsum("kt,ctn->ckn", C, xr)
-    ci = jnp.einsum("kt,ctn->ckn", C, xi)
-    sr = jnp.einsum("kt,ctn->ckn", S, xr)
-    si = jnp.einsum("kt,ctn->ckn", S, xi)
+    cr = jnp.einsum("kt,ctn->ckn", C, xr, precision=_HI)
+    ci = jnp.einsum("kt,ctn->ckn", C, xi, precision=_HI)
+    sr = jnp.einsum("kt,ctn->ckn", S, xr, precision=_HI)
+    si = jnp.einsum("kt,ctn->ckn", S, xi, precision=_HI)
     re = cr - sign * si
     im = ci + sign * sr
     return re * scale, im * scale
@@ -62,14 +65,14 @@ def time_fft_mm(x: jnp.ndarray, C, S) -> jnp.ndarray:
 def time_ifft_real_mm(x: jnp.ndarray, C, S) -> jnp.ndarray:
     """ifft of a REAL x: two matmuls instead of four."""
     N = C.shape[0]
-    re = jnp.einsum("kt,ctn->ckn", C, x) * (1.0 / N)
-    im = jnp.einsum("kt,ctn->ckn", S, x) * (1.0 / N)
+    re = jnp.einsum("kt,ctn->ckn", C, x, precision=_HI) * (1.0 / N)
+    im = jnp.einsum("kt,ctn->ckn", S, x, precision=_HI) * (1.0 / N)
     return jax.lax.complex(re, im)
 
 
 def time_fft_real_part_mm(x: jnp.ndarray, C, S) -> jnp.ndarray:
     """real(fft(x)) for complex x: two matmuls (the imaginary output is
     discarded by the ParaDiag apply anyway)."""
-    return jnp.einsum("kt,ctn->ckn", C, x.real) + jnp.einsum(
-        "kt,ctn->ckn", S, x.imag
+    return jnp.einsum("kt,ctn->ckn", C, x.real, precision=_HI) + jnp.einsum(
+        "kt,ctn->ckn", S, x.imag, precision=_HI
     )

