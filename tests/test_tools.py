@@ -113,3 +113,39 @@ def test_stage_timer():
         pass
     assert "a" in t.records
     assert "a" in t.report()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.utils.checkpoint import load_solution, save_solution, warm_start
+
+    prob = WaveControlProblem(ProblemConfig(N_x=8, N_t=9))
+    sol = prob.solve(SolverConfig(rtol=1e-8))
+    path = save_solution(str(tmp_path / "ckpt.npz"), prob, sol, extra={"note": "test"})
+    d = load_solution(path)
+    np.testing.assert_allclose(d["u"], np.asarray(sol.u))
+    assert d["config"]["N_x"] == 8
+    assert d["extra"]["note"] == "test"
+    x0 = warm_start(prob, path)
+    assert x0.shape == (2, 9, 7)
+    # warm-started residual is already tiny
+    import jax.numpy as jnp
+
+    r = prob.operator.matvec(x0) - prob.rhs
+    assert float(jnp.linalg.norm(r.reshape(-1))) < 1e-4
+
+
+def test_monitor_and_reasons():
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.utils.monitor import converged_reason, format_monitor, health_check
+
+    prob = WaveControlProblem(ProblemConfig(N_x=8, N_t=9))
+    sol = prob.solve(SolverConfig(rtol=1e-8))
+    assert converged_reason(sol.result, 1e-8, 1000) == "CONVERGED_RTOL"
+    mon = format_monitor(sol.result)
+    assert "KSP Residual norm" in mon
+    rec = health_check(sol.result, 1e-8, 1000)
+    assert rec["reason"] == "CONVERGED_RTOL" and rec["reduction"] < 1e-8
+
+    bad = prob.solve(SolverConfig(rtol=1e-30, maxiter=5, restart=5))
+    assert converged_reason(bad.result, 1e-30, 5) == "DIVERGED_ITS"
