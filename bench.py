@@ -5,14 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Headline config: 1D wave control, N_x=2048, N_t=1024 (4.19M unknowns,
 float32) -- a scaled-up version of the reference's default run
 (``Control_Wave_PC.py:335-339``), solved by matrix-free GMRES with the
-'fulldiag' ParaDiag preconditioner to rtol 1e-5. N_t divisible by 4
-deliberately exercises the Lambda_2 ~ 0 modes that the reference's eig route
-barely survives.
+'fulldiag' ParaDiag preconditioner to rtol 1e-5 (left-preconditioned = the
+error-like norm; see ARCHITECTURE.md). Restart 150 > iteration count: the
+preconditioned spectrum's outlier spread at this resolution (~92 iterations
+in float32) must be swept in one Krylov space -- restarting stalls.
+N_t divisible by 4 deliberately exercises the Lambda_2 ~ 0 modes where the
+reference's eig route loses digits.
+
+Timing is fenced by a host fetch of the solution (``np.asarray``): on the
+axon TPU relay, ``block_until_ready`` has been observed to return before
+execution completes.
 
 ``vs_baseline``: the reference publishes no wall-clock numbers
 (BASELINE.md), and its Firedrake/PETSc/MUMPS stack is CPU-only -- so the
 baseline is the same solve on this host's CPU backend (measured in a
-subprocess); the value is the CPU/TPU speedup ratio.
+subprocess); the value is the CPU/TPU speedup ratio (0.0 if the CPU child
+fails or times out).
 """
 
 from __future__ import annotations
@@ -26,33 +34,33 @@ import time
 
 N_X = int(os.environ.get("BENCH_NX", 2048))
 N_T = int(os.environ.get("BENCH_NT", 1024))
-RESTART = 20
+RESTART = 150
 RTOL = 1e-5
-REPS = 5
+REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
 def run_solve(reps: int):
-    import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
 
     prob = WaveControlProblem(ProblemConfig(N_x=N_X, N_t=N_T, dtype=jnp.float32))
-    solver = SolverConfig(rtol=RTOL, restart=RESTART, maxiter=60)
+    solver = SolverConfig(rtol=RTOL, restart=RESTART, maxiter=RESTART)
     sol = prob.solve(solver)  # compile + warm up
-    jax.block_until_ready(sol.u)
+    _ = float(np.asarray(sol.u).ravel()[0])
+    if not bool(sol.result.converged):
+        raise RuntimeError(
+            f"bench solve did not converge: {int(sol.result.iterations)} its, "
+            f"residual {float(sol.result.residual_norm):.3e}"
+        )
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sol = prob.solve(solver)
-        jax.block_until_ready(sol.u)
+        _ = float(np.asarray(sol.u).ravel()[0])  # host fetch = hard fence
         times.append(time.perf_counter() - t0)
-    return (
-        statistics.median(times),
-        int(sol.result.iterations),
-        bool(sol.result.converged),
-        float(sol.result.residual_norm),
-    )
+    return statistics.median(times), int(sol.result.iterations), prob.error_aligned(sol)
 
 
 def main():
@@ -60,11 +68,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        med, iters, conv, res = run_solve(reps=3)
+        med, iters, err = run_solve(reps=1)
         print(json.dumps({"cpu_ms": med * 1000.0}))
         return
 
-    med, iters, conv, res = run_solve(reps=REPS)
+    med, iters, err = run_solve(reps=REPS)
     value_ms = med * 1000.0
 
     vs_baseline = 0.0
@@ -75,7 +83,7 @@ def main():
             env=env,
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=3600,
         )
         for line in out.stdout.splitlines():
             line = line.strip()

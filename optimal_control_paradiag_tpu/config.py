@@ -79,7 +79,9 @@ class SolverConfig:
 
     Attributes:
       method: 'gmres' | 'minres' | 'direct' (dense LU baseline, the analogue
-        of the reference's MUMPS path).
+        of the reference's MUMPS path) | 'spectral' (GMRES in the ParaDiag-
+        diagonalized coordinates: D + 4-slice boundary correction, the
+        float32-stable fast path; see paradiag/spectral.py).
       pc: 'paradiag' | None.
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'
@@ -90,6 +92,9 @@ class SolverConfig:
       inner: per-mode inner solver for the 'eig' variant: 'auto' (pick the
         right one: spectral when diagonalizable, COCG for 2D consistent
         mass), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), or 'cocg'.
+      pc_side: 'left' (PETSc default, preconditioned-residual convergence)
+        or 'right' (true-residual convergence; robust for float32 at large
+        N_t where the preconditioned norm is amplified ~N_t^2).
       restart: GMRES restart length (ref ``:351``).
       rtol: relative tolerance on the (preconditioned) residual norm.
       atol: absolute tolerance.
@@ -102,6 +107,7 @@ class SolverConfig:
     pc: Optional[str] = "paradiag"
     pc_variant: str = "fulldiag"
     inner: str = "auto"
+    pc_side: str = "left"
     restart: int = 300
     rtol: float = 1e-5
     atol: float = 1e-50
@@ -110,7 +116,7 @@ class SolverConfig:
     inner_maxiter: int = 50
 
     def __post_init__(self):
-        if self.method not in ("gmres", "minres", "direct"):
+        if self.method not in ("gmres", "minres", "direct", "spectral"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.pc not in (None, "paradiag"):
             raise ValueError(f"unknown pc {self.pc!r}")
@@ -118,6 +124,8 @@ class SolverConfig:
             raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
         if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"):
             raise ValueError(f"unknown inner solver {self.inner!r}")
+        if self.pc_side not in ("left", "right"):
+            raise ValueError(f"unknown pc_side {self.pc_side!r}")
 
 
 def reference_1d_default() -> ProblemConfig:

@@ -71,6 +71,10 @@ class P1Space:
     N_x: int
     mass: str  # 'consistent' | 'lumped'
     dtype: Any
+    # Sine-transform algorithm: 'matmul' (MXU; exact control over precision),
+    # 'fft' (O(n log n) via the odd-extension identity; wins for large n),
+    # 'auto' (size-based choice).
+    dst_method: str = "auto"
 
     @property
     def h(self) -> float:
@@ -149,17 +153,41 @@ class P1Space:
         V = np.sin(np.pi * np.outer(i, i) / self.N_x)
         return host_const(V, self.dtype)
 
+    @property
+    def _use_fft_dst(self) -> bool:
+        if self.dst_method == "fft":
+            return True
+        if self.dst_method == "matmul":
+            return False
+        return self.n1d >= 512  # 'auto': matmul below, fft above
+
+    def _dst_fft_lastaxis(self, x: jnp.ndarray) -> jnp.ndarray:
+        """DST-I along the last axis via the odd-extension FFT identity:
+        fft([0, x, 0, -reverse(x)])_k = -2i DST(x)_k, length 2 N_x."""
+        zeros = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+        ext = jnp.concatenate([zeros, x, zeros, -jnp.flip(x, axis=-1)], axis=-1)
+        F = jnp.fft.fft(ext, axis=-1)
+        out = 0.5j * F[..., 1 : self.n1d + 1]
+        return out.real.astype(x.dtype) if not jnp.iscomplexobj(x) else out
+
     def dst(self, x: jnp.ndarray) -> jnp.ndarray:
         """Forward sine transform over the (flat) space axis.
 
-        Complex inputs are split into two real matmuls (the transform matrix
-        is real): complex matmuls do not lower on the TPU backend, and two
-        real MXU matmuls are the fast path regardless."""
+        'matmul': complex inputs split into two real MXU matmuls (complex
+        matmuls do not lower on the TPU backend) at HIGHEST precision -- the
+        MXU's default bf16 passes destroy the preconditioner's accuracy (and
+        with it the outer iteration count). 'fft': O(n log n) odd-extension
+        identity, the large-n fast path."""
+        if self._use_fft_dst:
+            if self.dim == 1:
+                return self._dst_fft_lastaxis(x)
+            g = x.reshape(x.shape[:-1] + self.grid_shape)
+            g = self._dst_fft_lastaxis(g)
+            g = self._dst_fft_lastaxis(jnp.swapaxes(g, -1, -2))
+            return jnp.swapaxes(g, -1, -2).reshape(x.shape)
         if jnp.iscomplexobj(x):
             return jax.lax.complex(self.dst(x.real), self.dst(x.imag))
         V = self.dst_matrix
-        # HIGHEST: the MXU's default bf16 matmul precision destroys the
-        # preconditioner's accuracy (and with it the outer iteration count).
         hi = jax.lax.Precision.HIGHEST
         if self.dim == 1:
             return jnp.matmul(x, V, precision=hi)
@@ -215,5 +243,7 @@ class P1Space:
         return np.asarray(op(eye)).T
 
 
-def make_space(dim: int, N_x: int, mass: str = "consistent", dtype=jnp.float64) -> P1Space:
-    return P1Space(dim=dim, N_x=N_x, mass=mass, dtype=dtype)
+def make_space(
+    dim: int, N_x: int, mass: str = "consistent", dtype=jnp.float64, dst_method: str = "auto"
+) -> P1Space:
+    return P1Space(dim=dim, N_x=N_x, mass=mass, dtype=dtype, dst_method=dst_method)

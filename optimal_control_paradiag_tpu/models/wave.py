@@ -28,6 +28,7 @@ from optimal_control_paradiag_tpu.paradiag.inner import (
     make_tridiag_inner_solver,
 )
 from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
+from optimal_control_paradiag_tpu.paradiag.spectral import build_spectral_system
 from optimal_control_paradiag_tpu.utils.constants import to_device
 
 
@@ -107,6 +108,24 @@ class WaveControlProblem:
 
             return run
 
+        if solver.method == "spectral":
+            A_hat, D_inv, to_s, from_s = build_spectral_system(op)
+
+            @jax.jit
+            def run(b):
+                res = gmres(
+                    A_hat,
+                    to_s(b),
+                    M=D_inv,
+                    restart=solver.restart,
+                    rtol=solver.rtol,
+                    atol=solver.atol,
+                    maxiter=solver.maxiter,
+                )
+                return from_s(res.x), res
+
+            return run
+
         if solver.method != "gmres":
             raise NotImplementedError(f"method {solver.method!r} not yet available")
 
@@ -151,6 +170,7 @@ class WaveControlProblem:
                 rtol=solver.rtol,
                 atol=solver.atol,
                 maxiter=solver.maxiter,
+                side=solver.pc_side,
             )
             return res.x, res
 

@@ -119,3 +119,17 @@ def test_2d_lumped_end_to_end():
     sol2 = prob2.solve(SolverConfig(rtol=1e-8))
     err2 = prob2.error_aligned(sol2)
     assert err2 < err  # refining shrinks the error
+
+
+def test_spectral_method_matches_gmres():
+    """method='spectral' (GMRES in diagonalized coordinates) gives the same
+    solution and comparable iterations as the standard path."""
+    for dim, mass in ((1, "consistent"), (2, "lumped")):
+        cfg = ProblemConfig(N_x=12, N_t=13, dim=dim, mass=mass)
+        prob = WaveControlProblem(cfg)
+        ref = prob.solve(SolverConfig(rtol=1e-10))
+        spec = prob.solve(SolverConfig(method="spectral", rtol=1e-10))
+        assert bool(spec.result.converged)
+        np.testing.assert_allclose(np.asarray(spec.u), np.asarray(ref.u), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(spec.p), np.asarray(ref.p), atol=1e-8)
+        assert abs(int(spec.result.iterations) - int(ref.result.iterations)) <= 3
