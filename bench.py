@@ -4,11 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline config: 1D wave control, N_x=2048, N_t=1024 (4.19M unknowns,
 float32) -- a scaled-up version of the reference's default run
-(``Control_Wave_PC.py:335-339``), solved by matrix-free GMRES with the
-'fulldiag' ParaDiag preconditioner to rtol 1e-5 (left-preconditioned = the
-error-like norm; see ARCHITECTURE.md). Restart 150 > iteration count: the
-preconditioned spectrum's outlier spread at this resolution (~92 iterations
-in float32) must be swept in one Krylov space -- restarting stalls.
+(``Control_Wave_PC.py:335-339``), solved by the spectral-space method
+(GMRES in the ParaDiag-diagonalized coordinates, paradiag/spectral.py) to
+rtol 1e-5: ~45 float32 iterations at this size, solution error ~3x from the
+float64 answer (vs ~90 iterations and 4x worse error for the standard
+transform-per-iteration path). Restart above the iteration count: the
+preconditioned spectrum's outlier sweep stalls under restarting.
 N_t divisible by 4 deliberately exercises the Lambda_2 ~ 0 modes where the
 reference's eig route loses digits.
 
@@ -34,7 +35,7 @@ import time
 
 N_X = int(os.environ.get("BENCH_NX", 2048))
 N_T = int(os.environ.get("BENCH_NT", 1024))
-RESTART = 150
+RESTART = 110
 RTOL = 1e-5
 REPS = int(os.environ.get("BENCH_REPS", 3))
 
@@ -46,7 +47,7 @@ def run_solve(reps: int):
     from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
 
     prob = WaveControlProblem(ProblemConfig(N_x=N_X, N_t=N_T, dtype=jnp.float32))
-    solver = SolverConfig(rtol=RTOL, restart=RESTART, maxiter=RESTART)
+    solver = SolverConfig(method="spectral", rtol=RTOL, restart=RESTART, maxiter=RESTART)
     sol = prob.solve(solver)  # compile + warm up
     _ = float(np.asarray(sol.u).ravel()[0])
     if not bool(sol.result.converged):

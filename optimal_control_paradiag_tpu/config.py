@@ -108,6 +108,7 @@ class SolverConfig:
     pc_variant: str = "fulldiag"
     inner: str = "auto"
     pc_side: str = "left"
+    use_pallas: bool = False
     restart: int = 300
     rtol: float = 1e-5
     atol: float = 1e-50

@@ -110,6 +110,27 @@ class WaveControlProblem:
 
         if solver.method == "spectral":
             A_hat, D_inv, to_s, from_s = build_spectral_system(op)
+            if solver.use_pallas:
+                from optimal_control_paradiag_tpu.paradiag.pallas_spectral import (
+                    build_pallas_spectral_step,
+                )
+
+                step = build_pallas_spectral_step(op)
+
+                @jax.jit
+                def run(b):
+                    # Fused D^{-1}(D+B): solve G xi = D^{-1} b_hat directly.
+                    res = gmres(
+                        step,
+                        D_inv(to_s(b)),
+                        restart=solver.restart,
+                        rtol=solver.rtol,
+                        atol=solver.atol,
+                        maxiter=solver.maxiter,
+                    )
+                    return from_s(res.x), res
+
+                return run
 
             @jax.jit
             def run(b):

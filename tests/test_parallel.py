@@ -112,3 +112,15 @@ def test_shardmap_end_to_end_gmres():
     ref = prob.solve(SolverConfig(rtol=1e-10))
     assert int(res.iterations) == int(ref.result.iterations)
     np.testing.assert_allclose(np.asarray(res.x[0]), np.asarray(ref.u), atol=1e-8)
+
+
+def test_multihost_helpers_single_process():
+    from optimal_control_paradiag_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single-process
+    info = multihost.process_summary()
+    assert info["process_count"] == 1
+    layout = multihost.pod_layout(n_space=2)
+    assert layout.mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        multihost.pod_layout(n_space=3)
