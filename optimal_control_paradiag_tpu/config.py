@@ -81,7 +81,9 @@ class SolverConfig:
       method: 'gmres' | 'minres' | 'direct' (dense LU baseline, the analogue
         of the reference's MUMPS path) | 'spectral' (GMRES in the ParaDiag-
         diagonalized coordinates: D + 4-slice boundary correction, the
-        float32-stable fast path; see paradiag/spectral.py).
+        float32-stable fast path) | 'woodbury' (DIRECT solve of the same
+        diagonalized system via the rank-4 Sherman-Morrison-Woodbury
+        identity -- no Krylov iteration; see paradiag/spectral.py).
       pc: 'paradiag' | None.
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'
@@ -101,6 +103,9 @@ class SolverConfig:
       maxiter: outer-iteration cap (ref ``:356``).
       inner_tol / inner_maxiter: for iterative inner mode solves (2D
         consistent-mass path); ignored by direct inner solves.
+      refine: iterative-refinement (defect-correction) steps for the
+        'woodbury' direct method; each costs one exact operator apply plus
+        one Woodbury apply and polishes float32 rounding.
     """
 
     method: str = "gmres"
@@ -115,9 +120,10 @@ class SolverConfig:
     maxiter: int = 1000
     inner_tol: float = 1e-10
     inner_maxiter: int = 50
+    refine: int = 1
 
     def __post_init__(self):
-        if self.method not in ("gmres", "minres", "direct", "spectral"):
+        if self.method not in ("gmres", "minres", "direct", "spectral", "woodbury"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.pc not in (None, "paradiag"):
             raise ValueError(f"unknown pc {self.pc!r}")

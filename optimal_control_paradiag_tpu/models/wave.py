@@ -28,7 +28,10 @@ from optimal_control_paradiag_tpu.paradiag.inner import (
     make_tridiag_inner_solver,
 )
 from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
-from optimal_control_paradiag_tpu.paradiag.spectral import build_spectral_system
+from optimal_control_paradiag_tpu.paradiag.spectral import (
+    build_spectral_system,
+    build_woodbury_solver,
+)
 from optimal_control_paradiag_tpu.utils.constants import to_device
 
 
@@ -105,6 +108,15 @@ class WaveControlProblem:
                 A = jnp.asarray(op.dense())
                 x = jnp.linalg.solve(A, b.reshape(-1)).reshape(op.shape)
                 return x, None
+
+            return run
+
+        if solver.method == "woodbury":
+            wb = build_woodbury_solver(op, refine=solver.refine)
+
+            @jax.jit
+            def run(b):
+                return wb(b), None
 
             return run
 
@@ -220,6 +232,17 @@ class WaveControlProblem:
             return jnp.linalg.norm((self.operator.matvec(x) - b).reshape(-1))
 
         return res(sol.u, sol.p, self.rhs)
+
+    def relative_residual_f64(self, sol: WaveSolution) -> float:
+        """``||A x - b|| / ||b||`` via the host float64 spectral oracle
+        (:func:`paradiag.spectral.spectral_relative_residual`) -- measures the
+        true residual of float32 solutions, below the float32 matvec's
+        cancellation noise floor (~1e-3). Diagonalizable spaces only."""
+        from optimal_control_paradiag_tpu.paradiag.spectral import spectral_relative_residual
+
+        scale = math.sqrt(self.config.gamma) if self.config.scaled else 1.0
+        x = np.stack([np.asarray(sol.u, np.float64) * scale, np.asarray(sol.p, np.float64)])
+        return spectral_relative_residual(self.operator, x, np.asarray(self.rhs, np.float64))
 
     # ------------------------------------------------------------ validation
 

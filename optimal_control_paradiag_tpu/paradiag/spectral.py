@@ -1,4 +1,5 @@
-"""Spectral-space solver: GMRES in the ParaDiag-diagonalized coordinates.
+"""Spectral-space solvers: GMRES in the ParaDiag-diagonalized coordinates,
+and the rank-4 Woodbury DIRECT solve.
 
 The float32 wall (see ARCHITECTURE.md): on fine grids the time stencil's
 action on smooth modes (``u_i - 2u_{i-1} + u_{i-2}`` ~ dt^2 u_tt) cancels to
@@ -26,18 +27,42 @@ DIAGONAL coefficients (muM, muK) in the sine basis:
 
 So one operator application is ~12 elementwise passes plus 4 slice
 extractions/injections (thin phase sums) -- no transforms, no cancellation,
-float32-stable. D^{-1} (the fulldiag Cramer) is the natural left
-preconditioner, also elementwise. The full solve:
+float32-stable. Two solvers share this structure:
 
-  b_hat = T b  ->  GMRES on (D + B_hat) xi = b_hat with M = D^{-1}
-  ->  x = real(fft(iDST(xi)))     (transforms run twice per SOLVE, not per
-                                   iteration)
+1. **Spectral GMRES** (:func:`build_spectral_system` + outer GMRES):
+   D^{-1} (the fulldiag Cramer) is the natural left preconditioner, also
+   elementwise; GMRES on (D + B_hat) xi = b_hat, then one inverse transform.
 
-Valid for sine-diagonalizable spaces (1D any mass, 2D lumped).
+2. **Woodbury direct solve** (:func:`build_woodbury_solver`): per wavenumber
+   j the correction B_hat is a RANK-4 update -- it injects into 4 fixed time
+   rows and reads 4 fixed time slices:
+
+     A_hat_j = D_j + Psi C_j Phi*          (Psi: C^4 -> C^{2 N_t} injection,
+                                            Phi*: C^{2 N_t} -> C^4 extraction,
+                                            C_j: real 4x4 coefficients)
+
+   so by the Sherman-Morrison-Woodbury identity
+
+     A_hat_j^{-1} = D_j^{-1} - D_j^{-1} Psi (I_4 + C_j W_j)^{-1} C_j Phi* D_j^{-1},
+     W_j = Phi* D_j^{-1} Psi  (4x4, precomputed in float64 on host).
+
+   The capacity matrices G_j = (I + C_j W_j)^{-1} C_j are exact host
+   constants; the device apply is two D^{-1} passes, 4 phase-sum slice
+   extractions, an unrolled 4x4 mix, and 4 rank-1 injections. The whole
+   all-at-once solve becomes DIRECT: two transforms + O(1) elementwise
+   passes -- no Krylov iteration at all. Optional iterative-refinement
+   steps (one exact A_hat apply + one Woodbury apply each) recover the
+   float64 answer to working precision in float32.
+
+Valid for sine-diagonalizable spaces (1D any mass, 2D lumped). The reference
+reaches the same algebra through MUMPS LU inside a PETSc GMRES
+(``Control_Wave_PC.py:346-359, 480-484``); it has no direct all-at-once path
+short of factorizing the full 2 N_t N_x matrix (``:186``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Callable, Tuple
 
@@ -50,9 +75,45 @@ from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
 from optimal_control_paradiag_tpu.utils.constants import host_const
 
 
-def build_spectral_system(op: AllAtOnceOperator):
-    """Returns (A_hat, D_inv, to_spectral, from_spectral) for the scaled
-    all-at-once system in ParaDiag-diagonalized coordinates."""
+@dataclasses.dataclass(frozen=True)
+class _SpectralPlan:
+    """Host-side constants of the diagonalized system (all numpy; float64
+    originals kept alongside the working-dtype casts)."""
+
+    N_t: int
+    n: int
+    rdtype: object
+    cdtype: object
+    np_c: np.dtype
+    c: float  # dt^2 / 2
+    theta: float  # dt^2 / sqrt(gamma)
+    # float64 originals (Woodbury capacity math):
+    a11_h: np.ndarray  # (N_t, n) complex128
+    det_h: np.ndarray  # (N_t, n) float64
+    muM64: np.ndarray  # (n,)
+    muK64: np.ndarray  # (n,)
+    # working-dtype casts (device constants):
+    a11: np.ndarray
+    a22: np.ndarray
+    tm: np.ndarray  # theta * muM, (1, n)
+    inv_det: np.ndarray
+    m1: np.ndarray  # muM, (n,)
+    kap1: np.ndarray  # c * muK, (n,)
+    tm1: np.ndarray  # theta * muM, (n,)
+    mk1: np.ndarray  # muM + c muK, (n,)
+    # slice-extraction phases phi_i[k] = exp(-2 pi i i k / N): x_i = sum_k phi x_k
+    phi_uNm1: np.ndarray
+    phi_uNm2: np.ndarray
+    phi_p0: np.ndarray
+    phi_p1: np.ndarray
+    # injection phases psi_i[k] = exp(+2 pi i i k / N) / N (ifft rows)
+    psi_u0: np.ndarray
+    psi_u1: np.ndarray
+    psi_pNm1: np.ndarray
+    psi_pNm2: np.ndarray
+
+
+def _spectral_plan(op: AllAtOnceOperator) -> _SpectralPlan:
     sp = op.space
     if not sp.diagonalizable:
         raise ValueError("spectral solver needs a sine-diagonalizable space")
@@ -70,28 +131,49 @@ def build_spectral_system(op: AllAtOnceOperator):
     L1 = np.asarray(e.Lambda1)[:, None]
     L2 = np.asarray(e.Lambda2)[:, None]
     a11_h = L1 * muM[None, :] + c * L2 * muK[None, :]  # (N_t, n)
-    a22_h = np.conj(a11_h)
     det_h = np.abs(a11_h) ** 2 + (theta * muM[None, :]) ** 2
 
-    a11 = host_const(a11_h, np_c)
-    a22 = host_const(a22_h, np_c)
-    tm = host_const(theta * muM[None, :], rdtype)  # theta * m_j, (1, n)
-    inv_det = host_const(1.0 / det_h, rdtype)
-    # (n,) per-wavenumber coefficients for the boundary rows:
-    m1 = host_const(muM, rdtype)
-    kap1 = host_const(c * muK, rdtype)
-    tm1 = host_const(theta * muM, rdtype)
-    mk1 = host_const(muM + c * muK, rdtype)
-
-    # Slice-extraction phases: x_i = sum_k xi_k e^{-2 pi i i k / N}
     k = np.arange(N_t)
     phi = lambda i: host_const(np.exp(-2j * np.pi * i * k / N_t), np_c)
-    # Injection phases (ifft row): y_k += (1/N) out_i e^{+2 pi i i k / N}
     psi = lambda i: host_const(np.exp(2j * np.pi * i * k / N_t) / N_t, np_c)
-    phi_uNm1, phi_uNm2 = phi(N_t - 1), phi(N_t - 2)
-    phi_p0, phi_p1 = phi(0), phi(1)
-    psi_u0, psi_u1 = psi(0), psi(1)
-    psi_pNm1, psi_pNm2 = psi(N_t - 1), psi(N_t - 2)
+
+    return _SpectralPlan(
+        N_t=N_t,
+        n=n,
+        rdtype=rdtype,
+        cdtype=cdtype,
+        np_c=np_c,
+        c=c,
+        theta=theta,
+        a11_h=a11_h,
+        det_h=det_h,
+        muM64=muM,
+        muK64=muK,
+        a11=host_const(a11_h, np_c),
+        a22=host_const(np.conj(a11_h), np_c),
+        tm=host_const(theta * muM[None, :], rdtype),
+        inv_det=host_const(1.0 / det_h, rdtype),
+        m1=host_const(muM, rdtype),
+        kap1=host_const(c * muK, rdtype),
+        tm1=host_const(theta * muM, rdtype),
+        mk1=host_const(muM + c * muK, rdtype),
+        phi_uNm1=phi(N_t - 1),
+        phi_uNm2=phi(N_t - 2),
+        phi_p0=phi(0),
+        phi_p1=phi(1),
+        psi_u0=psi(0),
+        psi_u1=psi(1),
+        psi_pNm1=psi(N_t - 1),
+        psi_pNm2=psi(N_t - 2),
+    )
+
+
+def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan):
+    """(A_hat, D_inv, to_spectral, from_spectral) from a prepared plan."""
+    sp = op.space
+    cdtype, rdtype = pl.cdtype, pl.rdtype
+    a11, a22, tm, inv_det = pl.a11, pl.a22, pl.tm, pl.inv_det
+    m1, kap1, tm1, mk1 = pl.m1, pl.kap1, pl.tm1, pl.mk1
 
     def A_hat(xi: jnp.ndarray) -> jnp.ndarray:
         """(D + B_hat) xi on spectral states (2, N_t, n) complex."""
@@ -100,10 +182,10 @@ def build_spectral_system(op: AllAtOnceOperator):
         dp = tm * xu + a22 * xp
 
         # Extract the four boundary time slices (each (n,) complex).
-        uNm1 = jnp.sum(phi_uNm1[:, None] * xu, axis=0)
-        uNm2 = jnp.sum(phi_uNm2[:, None] * xu, axis=0)
-        p0 = jnp.sum(phi_p0[:, None] * xp, axis=0)
-        p1 = jnp.sum(phi_p1[:, None] * xp, axis=0)
+        uNm1 = jnp.sum(pl.phi_uNm1[:, None] * xu, axis=0)
+        uNm2 = jnp.sum(pl.phi_uNm2[:, None] * xu, axis=0)
+        p0 = jnp.sum(pl.phi_p0[:, None] * xp, axis=0)
+        p1 = jnp.sum(pl.phi_p1[:, None] * xp, axis=0)
 
         # B rows (SURVEY 0.2 boundary cases minus the circulant rows).
         out_u0 = m1 * (2.0 * uNm1 - uNm2) - kap1 * uNm2 + 0.5 * tm1 * p0
@@ -111,8 +193,8 @@ def build_spectral_system(op: AllAtOnceOperator):
         out_pN1 = m1 * (2.0 * p0 - p1) - kap1 * p1 - 0.5 * tm1 * uNm1
         out_pN2 = -mk1 * p0
 
-        du = du + psi_u0[:, None] * out_u0[None, :] + psi_u1[:, None] * out_u1[None, :]
-        dp = dp + psi_pNm1[:, None] * out_pN1[None, :] + psi_pNm2[:, None] * out_pN2[None, :]
+        du = du + pl.psi_u0[:, None] * out_u0[None, :] + pl.psi_u1[:, None] * out_u1[None, :]
+        dp = dp + pl.psi_pNm1[:, None] * out_pN1[None, :] + pl.psi_pNm2[:, None] * out_pN2[None, :]
         return jnp.stack([du, dp])
 
     def D_inv(r: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +210,12 @@ def build_spectral_system(op: AllAtOnceOperator):
         return jnp.fft.fft(sp.idst(xi), axis=1).real.astype(rdtype)
 
     return A_hat, D_inv, to_spectral, from_spectral
+
+
+def build_spectral_system(op: AllAtOnceOperator):
+    """Returns (A_hat, D_inv, to_spectral, from_spectral) for the scaled
+    all-at-once system in ParaDiag-diagonalized coordinates."""
+    return _make_ops(op, _spectral_plan(op))
 
 
 def solve_spectral(
@@ -146,3 +234,164 @@ def solve_spectral(
     b_hat = to_spectral(b)
     res = gmres(A_hat, b_hat, M=D_inv, restart=restart, rtol=rtol, maxiter=maxiter)
     return from_spectral(res.x), res
+
+
+# --------------------------------------------------------------------------
+# Woodbury direct solve
+# --------------------------------------------------------------------------
+
+
+def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
+    """G_j = (I_4 + C_j W_j)^{-1} C_j per wavenumber j, complex128 host.
+
+    Ordering of the rank-4 factors (matching :func:`_make_ops`'s A_hat):
+      extraction rows a (Phi*): 0 = u slice N-1, 1 = u slice N-2,
+                                2 = p slice 0,   3 = p slice 1;
+      injection cols  b (Psi):  0 = u row 0,     1 = u row 1,
+                                2 = p row N-1,   3 = p row N-2.
+    """
+    N_t, n = pl.N_t, pl.n
+    k = np.arange(N_t)
+    phiE = lambda i: np.exp(-2j * np.pi * i * k / N_t)  # extraction
+    psiI = lambda i: np.exp(2j * np.pi * i * k / N_t) / N_t  # injection
+
+    # D^{-1} component blocks, float64/complex128, (N_t, n).
+    tm64 = pl.theta * pl.muM64[None, :]
+    iuu = np.conj(pl.a11_h) / pl.det_h
+    iup = tm64 / pl.det_h + 0j
+    ipu = -tm64 / pl.det_h + 0j
+    ipp = pl.a11_h / pl.det_h
+    E = {("u", "u"): iuu, ("u", "p"): iup, ("p", "u"): ipu, ("p", "p"): ipp}
+
+    rows = [("u", phiE(N_t - 1)), ("u", phiE(N_t - 2)), ("p", phiE(0)), ("p", phiE(1))]
+    cols = [("u", psiI(0)), ("u", psiI(1)), ("p", psiI(N_t - 1)), ("p", psiI(N_t - 2))]
+
+    W = np.zeros((n, 4, 4), np.complex128)
+    for a, (ca, pa) in enumerate(rows):
+        for b, (cb, pb) in enumerate(cols):
+            W[:, a, b] = np.einsum("k,kn,k->n", pa, E[(ca, cb)], pb)
+
+    # C_j: outputs (u0, u1, pN-1, pN-2) from inputs (uN-1, uN-2, p0, p1).
+    m = pl.muM64
+    kap = pl.c * pl.muK64
+    t2 = pl.theta * pl.muM64
+    C = np.zeros((n, 4, 4), np.float64)
+    C[:, 0, 0] = 2.0 * m
+    C[:, 0, 1] = -(m + kap)
+    C[:, 0, 2] = 0.5 * t2
+    C[:, 1, 0] = -(m + kap)
+    C[:, 2, 0] = -0.5 * t2
+    C[:, 2, 2] = 2.0 * m
+    C[:, 2, 3] = -(m + kap)
+    C[:, 3, 2] = -(m + kap)
+
+    I4 = np.eye(4)[None]
+    return np.linalg.solve(I4 + C @ W, C.astype(np.complex128))
+
+
+def build_woodbury_solver(
+    op: AllAtOnceOperator, *, refine: int = 1
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Direct all-at-once solver ``b -> x`` via the rank-4 Woodbury identity
+    in ParaDiag-diagonalized coordinates (module docstring). Exact in float64;
+    each ``refine`` step (defect correction: r = b_hat - A_hat x, x += solve r)
+    polishes float32 rounding at the cost of one A_hat + one Woodbury apply.
+    Jit-wrap (or pass through ``SolverConfig(method='woodbury')``) for
+    repeated use."""
+    pl = _spectral_plan(op)
+    A_hat, D_inv, to_spectral, from_spectral = _make_ops(op, pl)
+    G_h = _capacity_matrices(pl)
+    # Unrolled 4x4 mix entries as separate (n,) device constants: complex
+    # dot_general does not lower on the TPU backend, broadcasts do.
+    G = [[host_const(G_h[:, a, b], pl.np_c) for b in range(4)] for a in range(4)]
+
+    def wb_apply(r_hat: jnp.ndarray) -> jnp.ndarray:
+        y = D_inv(r_hat)
+        yu, yp = y[0], y[1]
+        z = (
+            jnp.sum(pl.phi_uNm1[:, None] * yu, axis=0),
+            jnp.sum(pl.phi_uNm2[:, None] * yu, axis=0),
+            jnp.sum(pl.phi_p0[:, None] * yp, axis=0),
+            jnp.sum(pl.phi_p1[:, None] * yp, axis=0),
+        )
+        w = [sum(G[a][b] * z[b] for b in range(4)) for a in range(4)]
+        corr_u = pl.psi_u0[:, None] * w[0][None, :] + pl.psi_u1[:, None] * w[1][None, :]
+        corr_p = pl.psi_pNm1[:, None] * w[2][None, :] + pl.psi_pNm2[:, None] * w[3][None, :]
+        return y - D_inv(jnp.stack([corr_u, corr_p]))
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        b_hat = to_spectral(b)
+        x = wb_apply(b_hat)
+        for _ in range(refine):
+            x = x + wb_apply(b_hat - A_hat(x))
+        return from_spectral(x)
+
+    return solve
+
+
+def solve_woodbury(op: AllAtOnceOperator, b: jnp.ndarray, *, refine: int = 1) -> jnp.ndarray:
+    """One-shot direct solve (see :func:`build_woodbury_solver`)."""
+    return build_woodbury_solver(op, refine=refine)(b)
+
+
+# --------------------------------------------------------------------------
+# Host-side float64 residual (accuracy oracle for float32 device solves)
+# --------------------------------------------------------------------------
+
+
+def _np_dst_axis(g: np.ndarray, ax: int) -> np.ndarray:
+    """DST-I along ``ax`` via the odd-extension FFT identity (numpy, host)."""
+    g = np.moveaxis(g, ax, -1)
+    n = g.shape[-1]
+    z = np.zeros(g.shape[:-1] + (1,), g.dtype)
+    ext = np.concatenate([z, g, z, -g[..., ::-1]], axis=-1)
+    out = 0.5j * np.fft.fft(ext, axis=-1)[..., 1 : n + 1]
+    if not np.iscomplexobj(g):
+        out = out.real
+    return np.moveaxis(out, -1, ax)
+
+
+def spectral_relative_residual(op: AllAtOnceOperator, x, b) -> float:
+    """``||A x - b|| / ||b||`` evaluated in float64 on host, in spectral
+    coordinates (the combined transform is a scalar multiple of a unitary, so
+    the ratio equals the physical one to rounding).
+
+    The float32 device matvec cannot measure residuals below ~1e-3 relative:
+    the time stencil's smooth-mode cancellation (module docstring) puts its
+    own rounding noise there. This host oracle sees the true residual of a
+    float32 solution -- the accuracy gate for bench.py and the float32 tests.
+    """
+    pl = _spectral_plan(op)
+    dim = op.space.dim
+    N_t, n = pl.N_t, pl.n
+
+    def to_spec(v):
+        v = np.fft.ifft(np.asarray(v, np.float64), axis=1)
+        g = v.reshape(v.shape[:-1] + op.space.grid_shape)
+        for ax in range(-dim, 0):
+            g = _np_dst_axis(g, ax)
+        return g.reshape(v.shape)
+
+    xh, bh = to_spec(x), to_spec(b)
+    a11 = pl.a11_h
+    a22 = np.conj(a11)
+    tm = pl.theta * pl.muM64[None, :]
+    m1, kap1 = pl.muM64, pl.c * pl.muK64
+    tm1, mk1 = pl.theta * pl.muM64, pl.muM64 + pl.c * pl.muK64
+    k = np.arange(N_t)
+    phi = lambda i: np.exp(-2j * np.pi * i * k / N_t)
+    psi = lambda i: np.exp(2j * np.pi * i * k / N_t) / N_t
+
+    xu, xp = xh[0], xh[1]
+    du = a11 * xu - tm * xp
+    dp = tm * xu + a22 * xp
+    uNm1 = phi(N_t - 1) @ xu
+    uNm2 = phi(N_t - 2) @ xu
+    p0 = phi(0) @ xp
+    p1 = phi(1) @ xp
+    du = du + np.outer(psi(0), m1 * (2.0 * uNm1 - uNm2) - kap1 * uNm2 + 0.5 * tm1 * p0)
+    du = du + np.outer(psi(1), -mk1 * uNm1)
+    dp = dp + np.outer(psi(N_t - 1), m1 * (2.0 * p0 - p1) - kap1 * p1 - 0.5 * tm1 * uNm1)
+    dp = dp + np.outer(psi(N_t - 2), -mk1 * p0)
+    r = np.stack([du, dp]) - bh
+    return float(np.linalg.norm(r.ravel()) / np.linalg.norm(bh.ravel()))

@@ -28,7 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim", type=int, default=1, choices=(1, 2))
     p.add_argument("--mass", default="consistent", choices=("consistent", "lumped"))
     p.add_argument("--dtype", default="float64", choices=("float32", "float64"))
-    p.add_argument("--method", default="gmres", choices=("gmres", "direct", "spectral"))
+    p.add_argument(
+        "--method", default="gmres", choices=("gmres", "direct", "spectral", "woodbury")
+    )
     p.add_argument("--pc", default="paradiag", choices=("paradiag", "none"))
     p.add_argument("--pc-variant", default="fulldiag", choices=("fulldiag", "eig", "block", "blockdense"))
     p.add_argument("--inner", default="auto", choices=("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"))
