@@ -209,15 +209,21 @@ class WaveControlProblem:
 
         return run
 
+    def make_solver_fn(self, solver: Optional[SolverConfig] = None):
+        """The cached, jitted solve function ``b -> (x_scaled, result)`` for a
+        given config -- the composable form of :meth:`solve` (benchmarks wrap
+        it in their own jit to fuse fences/postprocessing)."""
+        solver = solver or SolverConfig()
+        if solver not in self._solver_cache:
+            self._solver_cache[solver] = self._make_solver(solver)
+        return self._solver_cache[solver]
+
     def solve(self, solver: Optional[SolverConfig] = None) -> WaveSolution:
         """Solve the all-at-once system; returns physical (unscaled) u, p.
 
         The default mirrors the reference's ParaDiag run
         (``Control_Wave_PC.py:346-359, 567``)."""
-        solver = solver or SolverConfig()
-        if solver not in self._solver_cache:
-            self._solver_cache[solver] = self._make_solver(solver)
-        x, res = self._solver_cache[solver](self.rhs)
+        x, res = self.make_solver_fn(solver)(self.rhs)
         u, p = self._unscale(x)
         return WaveSolution(u=u, p=p, result=res)
 
