@@ -168,10 +168,38 @@ def _spectral_plan(op: AllAtOnceOperator) -> _SpectralPlan:
     )
 
 
-def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan):
-    """(A_hat, D_inv, to_spectral, from_spectral) from a prepared plan."""
+class _IdentityLayout:
+    """No-op stand-in for :class:`parallel.sharding.ParallelLayout`."""
+
+    def canonical(self, x):
+        return x
+
+    def time_local(self, x):
+        return x
+
+    def mode_local(self, x):
+        return x
+
+
+def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan, layout=None, time_transform="fft"):
+    """(A_hat, D_inv, to_spectral, from_spectral) from a prepared plan.
+
+    ``layout`` (a :class:`parallel.sharding.ParallelLayout`), if given, pins
+    each transform stage's sharding (time-local for the time transform,
+    mode-local for the spatial DST and the elementwise solve); XLA inserts
+    the all-to-alls. Sharded runs must use ``time_transform='dft'`` (real
+    MXU matmuls -- XLA's SPMD partitioning of complex FFTs miscompiles)."""
     sp = op.space
     cdtype, rdtype = pl.cdtype, pl.rdtype
+    lay = layout if layout is not None else _IdentityLayout()
+    if time_transform == "dft":
+        from optimal_control_paradiag_tpu.ops.transforms import (
+            dft_matrices,
+            time_fft_real_part_mm,
+            time_ifft_real_mm,
+        )
+
+        C_t, S_t = dft_matrices(pl.N_t, rdtype)
     a11, a22, tm, inv_det = pl.a11, pl.a22, pl.tm, pl.inv_det
     m1, kap1, tm1, mk1 = pl.m1, pl.kap1, pl.tm1, pl.mk1
 
@@ -204,10 +232,20 @@ def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan):
         return jnp.stack([yu, yp])
 
     def to_spectral(x: jnp.ndarray) -> jnp.ndarray:
-        return sp.dst(jnp.fft.ifft(x.astype(cdtype), axis=1))
+        x = lay.time_local(x)
+        if time_transform == "dft":
+            xh = time_ifft_real_mm(x.astype(rdtype), C_t, S_t)
+        else:
+            xh = jnp.fft.ifft(x.astype(cdtype), axis=1)
+        return sp.dst(lay.mode_local(xh))
 
     def from_spectral(xi: jnp.ndarray) -> jnp.ndarray:
-        return jnp.fft.fft(sp.idst(xi), axis=1).real.astype(rdtype)
+        y = lay.time_local(sp.idst(lay.mode_local(xi)))
+        if time_transform == "dft":
+            out = time_fft_real_part_mm(y, C_t, S_t)
+        else:
+            out = jnp.fft.fft(y, axis=1).real
+        return lay.canonical(out.astype(rdtype))
 
     return A_hat, D_inv, to_spectral, from_spectral
 
@@ -290,16 +328,29 @@ def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
 
 
 def build_woodbury_solver(
-    op: AllAtOnceOperator, *, refine: int = 1
+    op: AllAtOnceOperator,
+    *,
+    refine: int = 1,
+    layout=None,
+    time_transform: str = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct all-at-once solver ``b -> x`` via the rank-4 Woodbury identity
     in ParaDiag-diagonalized coordinates (module docstring). Exact in float64;
     each ``refine`` step (defect correction: r = b_hat - A_hat x, x += solve r)
     polishes float32 rounding at the cost of one A_hat + one Woodbury apply.
     Jit-wrap (or pass through ``SolverConfig(method='woodbury')``) for
-    repeated use."""
+    repeated use.
+
+    With ``layout`` (a :class:`parallel.sharding.ParallelLayout`): multi-chip
+    sharded direct solve -- transforms in their stage layouts, elementwise
+    solve mode-local, the 4 slice extractions as cross-shard phase-sum
+    reductions. Defaults to the DFT-matmul time transform when sharded."""
+    if time_transform is None:
+        time_transform = "dft" if layout is not None else "fft"
     pl = _spectral_plan(op)
-    A_hat, D_inv, to_spectral, from_spectral = _make_ops(op, pl)
+    A_hat, D_inv, to_spectral, from_spectral = _make_ops(
+        op, pl, layout=layout, time_transform=time_transform
+    )
     G_h = _capacity_matrices(pl)
     # Unrolled 4x4 mix entries as separate (n,) device constants: complex
     # dot_general does not lower on the TPU backend, broadcasts do.

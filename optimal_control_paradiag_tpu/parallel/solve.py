@@ -26,6 +26,17 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
     layout."""
     solver = solver or SolverConfig()
     op = problem.operator
+    state_sharding_wb = layout.sharding(layout.canonical_spec)
+    if solver.method == "woodbury":
+        from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
+
+        wb = build_woodbury_solver(op, refine=solver.refine, layout=layout)
+
+        def run_wb(b):
+            return layout.canonical(wb(b)), None
+
+        return jax.jit(run_wb, in_shardings=(state_sharding_wb,)), state_sharding_wb
+
     pc_apply = None
     if solver.pc == "paradiag":
         pc_apply = build_preconditioner(op, variant=solver.pc_variant, layout=layout)

@@ -36,6 +36,26 @@ def test_sharded_solve_matches_single_device(n_time, n_space):
     assert int(res.iterations) == int(ref.result.iterations)
 
 
+@pytest.mark.parametrize("n_time,n_space", [(8, 1), (4, 2), (2, 2)])
+def test_sharded_woodbury_matches_single_device(n_time, n_space):
+    """The direct (Woodbury) solve, sharded over the mesh, equals the
+    single-device direct solve to rounding."""
+    nd = n_time * n_space
+    _require_devices(nd)
+    N_t, N_x = 16, 17
+    prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t))
+    solver = SolverConfig(method="woodbury")
+    ref = prob.solve(solver)
+
+    layout = make_layout(n_time, n_space)
+    run, sharding = make_sharded_solver(prob, solver, layout)
+    b = jax.device_put(prob.rhs, sharding)
+    x, res = run(b)
+    assert res is None
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-11)
+
+
 def test_mesh_construction():
     _require_devices(8)
     mesh = make_mesh(4, 2)
