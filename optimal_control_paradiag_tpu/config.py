@@ -78,12 +78,15 @@ class SolverConfig:
     preconditioning, rtol 1e-5 on the preconditioned residual norm.
 
     Attributes:
-      method: 'gmres' | 'minres' | 'direct' (dense LU baseline, the analogue
-        of the reference's MUMPS path) | 'spectral' (GMRES in the ParaDiag-
-        diagonalized coordinates: D + 4-slice boundary correction, the
-        float32-stable fast path) | 'woodbury' (DIRECT solve of the same
-        diagonalized system via the rank-4 Sherman-Morrison-Woodbury
-        identity -- no Krylov iteration; see paradiag/spectral.py).
+      method: 'gmres' | 'minres' (symmetrized ParaDiag: block-row-swapped
+        exactly-symmetric system + scalar absolute-value-circulant SPD
+        preconditioner; see paradiag/symmetric.py) | 'direct' (dense LU
+        baseline, the analogue of the reference's MUMPS path) | 'spectral'
+        (GMRES in the ParaDiag-diagonalized coordinates: D + 4-slice
+        boundary correction, the float32-stable fast path) | 'woodbury'
+        (DIRECT solve of the same diagonalized system via the rank-4
+        Sherman-Morrison-Woodbury identity -- no Krylov iteration; see
+        paradiag/spectral.py).
       pc: 'paradiag' | None.
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'

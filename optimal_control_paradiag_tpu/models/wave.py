@@ -159,6 +159,30 @@ class WaveControlProblem:
 
             return run
 
+        if solver.method == "minres":
+            # Symmetrized ParaDiag: block-row swap makes the system exactly
+            # symmetric; scalar absolute-value-circulant SPD preconditioner
+            # (paradiag/symmetric.py). The reference has no such path (its
+            # applyTranspose is NotImplementedError, ref :557-558).
+            from optimal_control_paradiag_tpu.krylov.minres import minres
+            from optimal_control_paradiag_tpu.paradiag.symmetric import build_symmetric_system
+
+            matvec_sym, pc_spd, swap_rhs = build_symmetric_system(op)
+            M = pc_spd if solver.pc == "paradiag" else None
+
+            @jax.jit
+            def run(b):
+                res = minres(
+                    matvec_sym,
+                    swap_rhs(b),
+                    M=M,
+                    rtol=solver.rtol,
+                    maxiter=solver.maxiter,
+                )
+                return res.x, res
+
+            return run
+
         if solver.method != "gmres":
             raise NotImplementedError(f"method {solver.method!r} not yet available")
 
