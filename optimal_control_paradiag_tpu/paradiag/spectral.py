@@ -113,9 +113,14 @@ class _SpectralPlan:
     psi_pNm2: np.ndarray
 
 
-def _spectral_plan(op: AllAtOnceOperator) -> _SpectralPlan:
+def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _SpectralPlan:
+    """``mass_surrogate=True``: for non-sine-diagonalizable spaces (2D
+    consistent mass), substitute the lumped mass eigenvalues ``h^dim`` --
+    the resulting plan describes an APPROXIMATION of the operator, valid
+    only for preconditioner construction (paradiag/symmetric.py), never for
+    the exact spectral/Woodbury solves."""
     sp = op.space
-    if not sp.diagonalizable:
+    if not sp.diagonalizable and not mass_surrogate:
         raise ValueError("spectral solver needs a sine-diagonalizable space")
     if not op.scaled:
         raise ValueError("spectral solver operates on the scaled system")
@@ -127,7 +132,10 @@ def _spectral_plan(op: AllAtOnceOperator) -> _SpectralPlan:
     theta = op.dt * op.dt / math.sqrt(op.gamma)
 
     e = circulant_eigs(N_t, op.dt, op.gamma)
-    muM, muK = (np.asarray(a, np.float64) for a in sp.spectrum)
+    muM_raw, muK = sp.spectrum
+    if muM_raw is None:
+        muM_raw = np.full(sp.n, sp.h**sp.dim)  # lumped surrogate
+    muM, muK = np.asarray(muM_raw, np.float64), np.asarray(muK, np.float64)
     L1 = np.asarray(e.Lambda1)[:, None]
     L2 = np.asarray(e.Lambda2)[:, None]
     a11_h = L1 * muM[None, :] + c * L2 * muK[None, :]  # (N_t, n)

@@ -32,7 +32,9 @@ exact-arithmetic MINRES terminates in <= ~10 iterations. Observed at rtol
 near zero (O(dt^2)), and finite-precision Lanczos spends extra steps
 resolving them; still far below the O(N) of the unpreconditioned system.
 
-Valid where the spectral path is (sine-diagonalizable spaces). Float32 note:
+Runs on every space: for sine-diagonalizable ones (1D, 2D lumped) the SPD
+preconditioner is exact-|circulant|; for 2D consistent mass it uses the
+lumped-mass surrogate spectrum (see build_symmetric_system). Float32 note:
 this path iterates in PHYSICAL coordinates, so the float32 time-stencil
 cancellation wall applies (see paradiag/spectral.py); use float64, or the
 Woodbury/spectral-GMRES paths on TPU float32.
@@ -70,7 +72,14 @@ def build_symmetric_system(
     """
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
-    pl = _spectral_plan(op)
+    # 2D consistent mass: the swap symmetry and the matvec are exact; only
+    # the SPD preconditioner uses the lumped-mass surrogate spectrum
+    # (spectrally equivalent, M_lump/3 <= M_cons <= M_lump). Measured: the
+    # smeared clusters cost 72-112 iterations at rtol 1e-8 for N = 8..16,
+    # growing with N -- a working fallback, but the blockdense-PC GMRES
+    # path (~54-66 iterations, shrinking) remains the recommended
+    # 2D-consistent solver.
+    pl = _spectral_plan(op, mass_surrogate=True)
     _, _, to_s, from_s = _make_ops(op, pl, layout=layout, time_transform=time_transform)
     inv_sqrt_det = host_const(1.0 / np.sqrt(pl.det_h), pl.rdtype)
 

@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mass", default="consistent", choices=("consistent", "lumped"))
     p.add_argument("--dtype", default="float64", choices=("float32", "float64"))
     p.add_argument(
-        "--method", default="gmres", choices=("gmres", "direct", "spectral", "woodbury")
+        "--method",
+        default="gmres",
+        choices=("gmres", "minres", "direct", "spectral", "woodbury"),
     )
     p.add_argument("--pc", default="paradiag", choices=("paradiag", "none"))
     p.add_argument("--pc-variant", default="fulldiag", choices=("fulldiag", "eig", "block", "blockdense"))

@@ -55,6 +55,16 @@ def test_minres_iteration_counts_near_theory():
     assert its[40] <= 20
 
 
+def test_minres_2d_consistent_fallback():
+    """Non-diagonalizable space: lumped-surrogate SPD PC still converges to
+    the right answer (slower than blockdense-GMRES; see symmetric.py)."""
+    prob = WaveControlProblem(ProblemConfig(N_x=8, N_t=8, dim=2, mass="consistent"))
+    sol = prob.solve(SolverConfig(method="minres", rtol=1e-8, maxiter=200))
+    lu = prob.solve(SolverConfig(method="direct"))
+    assert bool(sol.result.converged)
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(lu.u), atol=1e-6)
+
+
 def test_minres_2d_lumped():
     prob = WaveControlProblem(ProblemConfig(N_x=10, N_t=12, dim=2, mass="lumped"))
     sol = prob.solve(SolverConfig(method="minres", rtol=1e-10, maxiter=100))
