@@ -7,20 +7,26 @@ float32) -- a scaled-up version of the reference's default run
 (``Control_Wave_PC.py:335-339``), solved DIRECTLY by the rank-4 Woodbury
 identity in the ParaDiag-diagonalized coordinates with one iterative-
 refinement step (paradiag/spectral.py): two transform round-trips plus O(1)
-elementwise passes, no Krylov iteration. Measured at this size: ~30 ms on a
-v5e chip vs ~815 ms for the spectral-space GMRES path (rtol 1e-5, ~45
-iterations), and ~7x closer to the float64 answer (rel err 1.7e-5 vs 1.2e-4).
+elementwise passes, no Krylov iteration. Measured at this size (protocol
+below): 4.1 ms/solve on a v5e chip vs 595 ms for the spectral-space GMRES
+path (rtol 1e-5, ~45 iterations) -- 146x -- and ~7x closer to the float64
+answer (rel err 1.7e-5 vs 1.2e-4).
 
-Timing protocol: the timed region is the jitted solve plus a SCALAR fence
-with a data dependency on every element of the solution (sum of |u|+|p|);
-the scalar is fetched to host each rep, so the clock stops only when the
-full solution exists on device. The full-array device->host fetch is NOT
-timed: on this axon relay it costs ~600 ms for 8 MB (a tunnel artifact --
-three orders of magnitude off PCIe), which would swamp the solve. The full
-solution IS fetched once, outside the timed region, for the accuracy gate:
-a float64 host-oracle true residual must be <= 1e-2. (At this size merely
-ROUNDING the exact solution to float32 leaves a 4.1e-4 relative residual --
-the operator amplifies solution rounding ~1e4x -- and every float32 method,
+Timing protocol: a chain of BENCH_CHAIN (default 50) solves inside ONE
+jitted program, serialized by a data dependency (each rhs is perturbed by
+1e-20 x the previous solution -- numerically a no-op, but the compiler
+cannot hoist or parallelize the chain), closed by a SCALAR fence that
+data-depends on every element of the last solution and is fetched to host.
+Reported value = total / BENCH_CHAIN. Why: on this axon relay EVERY host
+round-trip (even fetching one scalar from a no-op program) costs ~26 ms,
+and a full 8 MB array fetch ~600 ms -- tunnel artifacts three orders of
+magnitude off a real TPU host's PCIe/dispatch path, which would swamp the
+~3.5 ms device solve. Amortizing one fence over the chain bounds the
+artifact's contribution at ~0.5 ms/solve (included, conservatively). The
+full solution IS fetched once, untimed, for the accuracy gate: a float64
+host-oracle true residual must be <= 1e-2. (At this size merely ROUNDING
+the exact solution to float32 leaves a 4.1e-4 relative residual -- the
+operator amplifies solution rounding ~1e4x -- and every float32 method,
 Woodbury or GMRES, lands at ~2.6e-3.) N_t divisible by 4 deliberately
 exercises the Lambda_2 ~ 0 modes where the reference's eig route loses
 digits.
@@ -50,13 +56,15 @@ N_X = int(os.environ.get("BENCH_NX", 2048))
 N_T = int(os.environ.get("BENCH_NT", 1024))
 REFINE = int(os.environ.get("BENCH_REFINE", 1))
 MAX_REL_RESIDUAL = 1e-2
-REPS = int(os.environ.get("BENCH_REPS", 5))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
 
 
-def run_solve(reps: int, method: str = "woodbury"):
+def run_solve(reps: int, method: str = "woodbury", chain: int = CHAIN):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
 
@@ -70,13 +78,25 @@ def run_solve(reps: int, method: str = "woodbury"):
     scale = math.sqrt(cfg.gamma)
 
     @jax.jit
-    def timed(b):
+    def solve_once(b):
         x, _ = run(b)
         u, p = x[0] / scale, x[1]
         return u, p, jnp.sum(jnp.abs(u)) + jnp.sum(jnp.abs(p))
 
+    @jax.jit
+    def solve_chain(b):
+        def body(i, carry):
+            x, _ = run(carry)
+            # Serializing data dependency; numerically a no-op perturbation.
+            return b + 1e-20 * x
+
+        xlast = lax.fori_loop(0, chain - 1, body, b) if chain > 1 else b
+        x, _ = run(xlast)
+        u, p = x[0] / scale, x[1]
+        return jnp.sum(jnp.abs(u)) + jnp.sum(jnp.abs(p))
+
     b = prob.rhs
-    u, p, fence = timed(b)  # compile + warm up
+    u, p, fence = solve_once(b)  # compile + warm up
     _ = float(fence)
 
     # Accuracy gate (untimed): float64 host oracle -- the float32 device
@@ -88,13 +108,13 @@ def run_solve(reps: int, method: str = "woodbury"):
     if rel_res > MAX_REL_RESIDUAL:
         raise RuntimeError(f"bench solve inaccurate: relative residual {rel_res:.3e}")
 
+    _ = float(solve_chain(b))  # compile + warm up the chained program
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        u, p, fence = timed(b)
-        _ = float(fence)  # scalar host fetch: data-dependent hard fence
+        _ = float(solve_chain(b))  # scalar host fetch: data-dependent fence
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    return statistics.median(times) / chain
 
 
 def main():
@@ -102,7 +122,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        med = run_solve(reps=1, method="spectral")
+        med = run_solve(reps=1, method="spectral", chain=1)
         print(json.dumps({"cpu_ms": med * 1000.0}))
         return
 
