@@ -76,3 +76,23 @@ def test_m1_is_real():
     e = circulant_eigs(10, 0.2, 1.0)
     m1 = e.Lambda1 / e.Lambda2
     np.testing.assert_allclose(m1.imag, 0.0, atol=1e-12)
+
+
+def test_gamma_form_of_eigenvalues():
+    """The reference's abandoned PC draft writes the per-mode eigenvalues as
+    Sigma = Lambda_1/Lambda_2 +- i*Gamma with Gamma = dt^2/(sqrt(gamma)
+    |Lambda_2|) (``pre_cond.py:32-38``). Our closed-form Sigma_1, Sigma_2
+    (``paradiag/eigs.py``) are exactly that pair (branch of the sqrt decides
+    which sign goes to which), conjugates of each other."""
+    for N_t, dt, gamma in [(7, 0.3, 1.0), (9, 0.1, 0.5), (12, 0.25, 2.0)]:
+        e = circulant_eigs(N_t, dt, gamma)
+        # Lambda_2 = 0 modes (N_t divisible by 4): Gamma blows up, the eig
+        # route loses digits too -- the fulldiag/Woodbury paths avoid the
+        # division entirely. Exclude, as the neighboring tests do.
+        ok = np.abs(e.Lambda2) > 1e-8
+        m1 = (e.Lambda1 / e.Lambda2).real
+        Gamma = dt**2 / np.sqrt(gamma) / np.abs(e.Lambda2)
+        plus, minus = m1 + 1j * Gamma, m1 - 1j * Gamma
+        d1 = np.minimum(np.abs(e.Sigma1 - plus), np.abs(e.Sigma1 - minus))
+        assert float(d1[ok].max()) < 1e-12
+        np.testing.assert_allclose(e.Sigma2[ok], np.conj(e.Sigma1[ok]), atol=1e-13)
