@@ -335,12 +335,112 @@ def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
     return np.linalg.solve(I4 + C @ W, C.astype(np.complex128))
 
 
+def _build_woodbury_half(op: AllAtOnceOperator, pl: _SpectralPlan, refine: int):
+    """Half-spectrum Woodbury solve: the physical state is real, so its time
+    spectrum is Hermitian (``x_hat[N_t-k] = conj(x_hat[k])``) and every
+    per-mode constant pairs conjugately across ``k <-> N_t - k``. Operating
+    only on the ``K = N_t//2 + 1`` rfft bins halves the transform and
+    elementwise work:
+
+    - time transforms become ``rfft`` / ``irfft`` (the spatial DST commutes
+      with the time transform, so it runs FIRST, on the real state, taking
+      the real-DST fast path);
+    - the 4 boundary-slice extractions use the pairing: the slices are REAL
+      time-domain values, ``z = sum_k wgt_k Re(phi_k y_k)`` with weight 2 on
+      paired bins and 1 on the self-conjugate ones (k=0, and N_t/2 if even);
+    - the 4x4 capacity matrices are REAL by the same pairing (asserted at
+      setup to 1e-10), so the mixed row values stay real and the injections
+      preserve Hermitian symmetry bin-by-bin.
+    """
+    sp = op.space
+    N_t, n = pl.N_t, pl.n
+    K = N_t // 2 + 1
+    rdtype, np_c = pl.rdtype, pl.np_c
+
+    a11 = host_const(pl.a11_h[:K], np_c)
+    a22 = host_const(np.conj(pl.a11_h[:K]), np_c)
+    tm = host_const(pl.theta * pl.muM64[None, :], rdtype)
+    inv_det = host_const(1.0 / pl.det_h[:K], rdtype)
+    m1 = host_const(pl.muM64, rdtype)
+    kap1 = host_const(pl.c * pl.muK64, rdtype)
+    tm1 = host_const(pl.theta * pl.muM64, rdtype)
+    mk1 = host_const(pl.muM64 + pl.c * pl.muK64, rdtype)
+
+    k = np.arange(K)
+    wgt = np.full(K, 2.0)
+    wgt[0] = 1.0
+    if N_t % 2 == 0:
+        wgt[K - 1] = 1.0
+    # Extraction phases carry the pairing weight; injections use plain bins.
+    phiw = lambda i: host_const(wgt * np.exp(-2j * np.pi * i * k / N_t), np_c)
+    psi = lambda i: host_const(np.exp(2j * np.pi * i * k / N_t) / N_t, np_c)
+    phi_uNm1, phi_uNm2, phi_p0, phi_p1 = (phiw(i) for i in (N_t - 1, N_t - 2, 0, 1))
+    psi_u0, psi_u1, psi_pNm1, psi_pNm2 = (psi(i) for i in (0, 1, N_t - 1, N_t - 2))
+
+    G_h = _capacity_matrices(pl)
+    assert float(np.abs(G_h.imag).max()) < 1e-10 * max(float(np.abs(G_h.real).max()), 1.0)
+    G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(4)] for a in range(4)]
+
+    def D_inv(r):
+        ru, rp = r[0], r[1]
+        yu = (a22 * ru + tm * rp) * inv_det
+        yp = (a11 * rp - tm * ru) * inv_det
+        return jnp.stack([yu, yp])
+
+    def extract(yu, yp):
+        return (
+            jnp.sum(phi_uNm1[:, None] * yu, axis=0).real,
+            jnp.sum(phi_uNm2[:, None] * yu, axis=0).real,
+            jnp.sum(phi_p0[:, None] * yp, axis=0).real,
+            jnp.sum(phi_p1[:, None] * yp, axis=0).real,
+        )
+
+    def A_hat(xi):
+        xu, xp = xi[0], xi[1]
+        du = a11 * xu - tm * xp
+        dp = tm * xu + a22 * xp
+        uNm1, uNm2, p0, p1 = extract(xu, xp)
+        out_u0 = m1 * (2.0 * uNm1 - uNm2) - kap1 * uNm2 + 0.5 * tm1 * p0
+        out_u1 = -mk1 * uNm1
+        out_pN1 = m1 * (2.0 * p0 - p1) - kap1 * p1 - 0.5 * tm1 * uNm1
+        out_pN2 = -mk1 * p0
+        du = du + psi_u0[:, None] * out_u0[None, :] + psi_u1[:, None] * out_u1[None, :]
+        dp = dp + psi_pNm1[:, None] * out_pN1[None, :] + psi_pNm2[:, None] * out_pN2[None, :]
+        return jnp.stack([du, dp])
+
+    def wb_apply(r):
+        y = D_inv(r)
+        z = extract(y[0], y[1])
+        w = [sum(G[a][b] * z[b] for b in range(4)) for a in range(4)]
+        corr_u = psi_u0[:, None] * w[0][None, :] + psi_u1[:, None] * w[1][None, :]
+        corr_p = psi_pNm1[:, None] * w[2][None, :] + psi_pNm2[:, None] * w[3][None, :]
+        return y - D_inv(jnp.stack([corr_u, corr_p]))
+
+    def to_spectral(x):
+        s = sp.dst(x)  # real fast path; commutes with the time transform
+        return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+    def from_spectral(xi):
+        t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+        return sp.idst(t).astype(rdtype)
+
+    def solve(b):
+        b_hat = to_spectral(b)
+        x = wb_apply(b_hat)
+        for _ in range(refine):
+            x = x + wb_apply(b_hat - A_hat(x))
+        return from_spectral(x)
+
+    return solve
+
+
 def build_woodbury_solver(
     op: AllAtOnceOperator,
     *,
     refine: int = 1,
     layout=None,
     time_transform: str = None,
+    half_spectrum: bool = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct all-at-once solver ``b -> x`` via the rank-4 Woodbury identity
     in ParaDiag-diagonalized coordinates (module docstring). Exact in float64;
@@ -352,10 +452,21 @@ def build_woodbury_solver(
     With ``layout`` (a :class:`parallel.sharding.ParallelLayout`): multi-chip
     sharded direct solve -- transforms in their stage layouts, elementwise
     solve mode-local, the 4 slice extractions as cross-shard phase-sum
-    reductions. Defaults to the DFT-matmul time transform when sharded."""
+    reductions. Defaults to the DFT-matmul time transform when sharded.
+
+    ``half_spectrum`` (default: on when single-device): exploit the Hermitian
+    time spectrum of the real state to run transforms and elementwise work on
+    the ``N_t//2 + 1`` rfft bins only -- ~2x less transform/elementwise work,
+    bit-compatible answers (see :func:`_build_woodbury_half`)."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
+    if half_spectrum is None:
+        half_spectrum = layout is None and time_transform == "fft"
     pl = _spectral_plan(op)
+    if half_spectrum:
+        if layout is not None:
+            raise ValueError("half_spectrum is a single-device path; pass layout=None")
+        return _build_woodbury_half(op, pl, refine)
     A_hat, D_inv, to_spectral, from_spectral = _make_ops(
         op, pl, layout=layout, time_transform=time_transform
     )
