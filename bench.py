@@ -8,9 +8,11 @@ float32) -- a scaled-up version of the reference's default run
 identity in the ParaDiag-diagonalized coordinates with one iterative-
 refinement step (paradiag/spectral.py): two transform round-trips plus O(1)
 elementwise passes, no Krylov iteration. Measured at this size (protocol
-below): 4.1 ms/solve on a v5e chip vs 595 ms for the spectral-space GMRES
-path (rtol 1e-5, ~45 iterations) -- 146x -- and ~7x closer to the float64
-answer (rel err 1.7e-5 vs 1.2e-4).
+below): 2.5 ms/solve on a v5e chip (matmul-DST; the auto heuristic in
+fem/space.py tuned from artifacts/dst_experiment.py) vs 595 ms measured for
+the spectral-space GMRES path (rtol 1e-5, ~45 iterations, at the older
+fft-DST build) -- >200x -- and ~7x closer to the float64 answer
+(rel err 1.7e-5 vs 1.2e-4).
 
 Timing protocol: a chain of BENCH_CHAIN (default 50) solves inside ONE
 jitted program, serialized by a data dependency (each rhs is perturbed by
@@ -22,7 +24,7 @@ round-trip (even fetching one scalar from a no-op program) costs ~26 ms,
 and a full 8 MB array fetch ~600 ms -- tunnel artifacts three orders of
 magnitude off a real TPU host's PCIe/dispatch path, which would swamp the
 ~3.5 ms device solve. Amortizing one fence over the chain bounds the
-artifact's contribution at ~0.5 ms/solve (included, conservatively). The
+artifact's contribution at well under 1 ms/solve (included, conservatively). The
 full solution IS fetched once, untimed, for the accuracy gate: a float64
 host-oracle true residual must be <= 1e-2. (At this size merely ROUNDING
 the exact solution to float32 leaves a 4.1e-4 relative residual -- the

@@ -159,7 +159,12 @@ class P1Space:
             return True
         if self.dst_method == "matmul":
             return False
-        return self.n1d >= 512  # 'auto': matmul below, fft above
+        # 'auto': the MXU matmul wins well past the naive O(n^2) vs
+        # O(n log n) crossover -- measured on v5e at n1d=2047 inside the
+        # Woodbury solve: matmul 3.19 ms vs fft 3.92 ms per solve
+        # (artifacts/dst_experiment.py). Switch to fft only when the DST
+        # matrix itself gets HBM-expensive (n1d^2 floats: 67 MB at 4096).
+        return self.n1d > 4096
 
     def _dst_fft_lastaxis(self, x: jnp.ndarray) -> jnp.ndarray:
         """DST-I along the last axis via the odd-extension FFT identity:

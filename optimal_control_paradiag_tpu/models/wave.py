@@ -242,6 +242,25 @@ class WaveControlProblem:
             self._solver_cache[solver] = self._make_solver(solver)
         return self._solver_cache[solver]
 
+    def make_batched_solver_fn(self, solver: Optional[SolverConfig] = None):
+        """Throughput form of :meth:`make_solver_fn`: one compiled program
+        that solves MANY all-at-once systems at once, ``bs (B, 2, N_t, n) ->
+        (xs (B, 2, N_t, n), results)`` via ``jax.vmap`` over the single-RHS
+        solver. The batch axis rides every stage -- the spectral transforms
+        become batched MXU matmuls and the elementwise Woodbury/PC passes
+        stay bandwidth-contiguous -- so B solves cost far less than B
+        round-trips. Use cases: multi-scenario control (many targets ``g`` /
+        sources ``f`` on one mesh -- build each RHS with
+        :func:`ops.allatonce.build_rhs`) and parameter sweeps sharing one
+        discretization. (The reference has no multi-RHS path: each run
+        re-assembles and re-factorizes through PETSc/MUMPS,
+        ``Control_Wave_PC.py:583-631``.)"""
+        solver = solver or SolverConfig()
+        key = (solver, "batched")
+        if key not in self._solver_cache:
+            self._solver_cache[key] = jax.jit(jax.vmap(self._make_solver(solver)))
+        return self._solver_cache[key]
+
     def solve(self, solver: Optional[SolverConfig] = None) -> WaveSolution:
         """Solve the all-at-once system; returns physical (unscaled) u, p.
 
