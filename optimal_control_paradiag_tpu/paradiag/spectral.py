@@ -335,7 +335,9 @@ def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
     return np.linalg.solve(I4 + C @ W, C.astype(np.complex128))
 
 
-def _build_woodbury_half(op: AllAtOnceOperator, pl: _SpectralPlan, refine: int):
+def _build_woodbury_half(
+    op: AllAtOnceOperator, pl: _SpectralPlan, refine: int, time_transform: str = "fft"
+):
     """Half-spectrum Woodbury solve: the physical state is real, so its time
     spectrum is Hermitian (``x_hat[N_t-k] = conj(x_hat[k])``) and every
     per-mode constant pairs conjugately across ``k <-> N_t - k``. Operating
@@ -416,13 +418,41 @@ def _build_woodbury_half(op: AllAtOnceOperator, pl: _SpectralPlan, refine: int):
         corr_p = psi_pNm1[:, None] * w[2][None, :] + psi_pNm2[:, None] * w[3][None, :]
         return y - D_inv(jnp.stack([corr_u, corr_p]))
 
-    def to_spectral(x):
-        s = sp.dst(x)  # real fast path; commutes with the time transform
-        return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+    if time_transform == "dft":
+        # Half-spectrum DFT as real MXU matmuls (the same move that wins for
+        # the spatial DST, fem/space.py): conj(rfft(s))/N = (C + iS) s / N
+        # with C[k,t] = cos(2 pi k t / N), S[k,t] = sin(...), k = 0..K-1; the
+        # inverse uses the Hermitian pairing weights folded into the
+        # matrices: x_t = sum_k wgt_k (Re xi_k cos + Im xi_k sin).
+        t_idx = np.arange(N_t)
+        ang = 2.0 * np.pi * np.outer(k, t_idx) / N_t
+        Cf = host_const(np.cos(ang) / N_t, rdtype)
+        Sf = host_const(np.sin(ang) / N_t, rdtype)
+        Ci = host_const((wgt[None, :] * np.cos(ang).T), rdtype)
+        Si = host_const((wgt[None, :] * np.sin(ang).T), rdtype)
+        _hi = jax.lax.Precision.HIGHEST
 
-    def from_spectral(xi):
-        t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
-        return sp.idst(t).astype(rdtype)
+        def to_spectral(x):
+            s = sp.dst(x)  # real fast path; commutes with the time transform
+            re = jnp.einsum("kt,ctn->ckn", Cf, s, precision=_hi)
+            im = jnp.einsum("kt,ctn->ckn", Sf, s, precision=_hi)
+            return jax.lax.complex(re, im)
+
+        def from_spectral(xi):
+            t = jnp.einsum("tk,ckn->ctn", Ci, xi.real, precision=_hi) + jnp.einsum(
+                "tk,ckn->ctn", Si, xi.imag, precision=_hi
+            )
+            return sp.idst(t).astype(rdtype)
+
+    else:
+
+        def to_spectral(x):
+            s = sp.dst(x)  # real fast path; commutes with the time transform
+            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+        def from_spectral(xi):
+            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+            return sp.idst(t).astype(rdtype)
 
     def solve(b):
         b_hat = to_spectral(b)
@@ -461,12 +491,12 @@ def build_woodbury_solver(
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
     if half_spectrum is None:
-        half_spectrum = layout is None and time_transform == "fft"
+        half_spectrum = layout is None
     pl = _spectral_plan(op)
     if half_spectrum:
         if layout is not None:
             raise ValueError("half_spectrum is a single-device path; pass layout=None")
-        return _build_woodbury_half(op, pl, refine)
+        return _build_woodbury_half(op, pl, refine, time_transform=time_transform)
     A_hat, D_inv, to_spectral, from_spectral = _make_ops(
         op, pl, layout=layout, time_transform=time_transform
     )

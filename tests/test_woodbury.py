@@ -26,6 +26,21 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("kw", CASES)
+def test_half_spectrum_dft_matches_fft(kw):
+    """The DFT-matmul half-spectrum time transform (the TPU fast path; see
+    _build_woodbury_half) is exactly equivalent to the rfft/irfft form,
+    odd and even N_t."""
+    import jax.numpy as jnp
+
+    prob = WaveControlProblem(ProblemConfig(**kw))
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(prob.operator.shape))
+    x_fft = build_woodbury_solver(prob.operator, refine=1, time_transform="fft")(b)
+    x_dft = build_woodbury_solver(prob.operator, refine=1, time_transform="dft")(b)
+    np.testing.assert_allclose(np.asarray(x_dft), np.asarray(x_fft), rtol=1e-11, atol=1e-13)
+
+
 @pytest.mark.parametrize("kw", CASES, ids=[str(i) for i in range(len(CASES))])
 def test_woodbury_matches_dense_lu(kw):
     prob = WaveControlProblem(ProblemConfig(**kw))
