@@ -91,9 +91,13 @@ class SolverConfig:
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'
         (per-mode 2x2 eigen-decoupling mirroring the reference math,
-        ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma) or 'block'
-        (coupled per-mode 2x2-block COCG solve -- no Lambda_2 division, the
-        robust path for 2D consistent mass and N_t divisible by 4).
+        ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma) or
+        'blockline' (coupled per-mode block-Thomas structured DIRECT solve
+        over grid lines, half-spectrum -- the scalable exact 2D
+        consistent-mass path; auto default there) or 'blockdense' (per-mode
+        dense inverses -- exact but memory-bound; cross-check oracle) or
+        'block' (coupled per-mode 2x2-block COCG with tensor-mass spectral
+        preconditioning -- memory-free best-effort beyond blockline's cap).
       inner: per-mode inner solver for the 'eig' variant: 'auto' (pick the
         right one: spectral when diagonalizable, COCG for 2D consistent
         mass), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), or 'cocg'.
@@ -130,7 +134,7 @@ class SolverConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.pc not in (None, "paradiag"):
             raise ValueError(f"unknown pc {self.pc!r}")
-        if self.pc_variant not in ("fulldiag", "eig", "block", "blockdense"):
+        if self.pc_variant not in ("fulldiag", "eig", "block", "blockdense", "blockline"):
             raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
         if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"):
             raise ValueError(f"unknown inner solver {self.inner!r}")

@@ -162,9 +162,12 @@ class P1Space:
         # 'auto': the MXU matmul wins well past the naive O(n^2) vs
         # O(n log n) crossover -- measured on v5e at n1d=2047 inside the
         # Woodbury solve: matmul 3.19 ms vs fft 3.92 ms per solve
-        # (artifacts/dst_experiment.py). Switch to fft only when the DST
-        # matrix itself gets HBM-expensive (n1d^2 floats: 67 MB at 4096).
-        return self.n1d > 4096
+        # (artifacts/dst_experiment.py). Switch to fft once the dense DST
+        # matrix itself gets memory-expensive: budget 64 MB for the n1d^2
+        # matrix, so the cutover is dtype-aware (float32: n1d > 4096;
+        # float64: n1d > 2896 -- CPU/f64 users never pay a 134 MB constant).
+        itemsize = jnp.dtype(self.dtype).itemsize
+        return self.n1d * self.n1d * itemsize > 64 * 2**20
 
     def _dst_fft_lastaxis(self, x: jnp.ndarray) -> jnp.ndarray:
         """DST-I along the last axis via the odd-extension FFT identity:
@@ -236,6 +239,35 @@ class P1Space:
     def diagonalizable(self) -> bool:
         """True when both M and K are diagonalized by the sine transform."""
         return self.spectrum[0] is not None
+
+    @functools.cached_property
+    def spectrum_tensor(self) -> np.ndarray:
+        """Sine-basis spectrum of the *tensor-product part* of the mass matrix,
+        flat of length ``n``.
+
+        For sine-diagonalizable spaces this equals ``spectrum[0]`` (the exact
+        mass spectrum). For the 2D consistent (Friedrichs-Keller) mass the
+        exact splitting is
+
+            M = M_t + (h^2/24) S_x (x) S_y,
+            M_t = (h^2/12) (6 I + C_x + C_y + C_x C_y / 2),
+
+        where ``C = T^+ + T^-`` (symmetric neighbor sum, sine-diagonalizable
+        with eigenvalue ``2 cos(pi j / N_x)``) and ``S = T^+ - T^-`` (the
+        antisymmetric difference; maps sine vectors to cosine vectors, so
+        ``S_x (x) S_y`` has zero diagonal in the sine basis). ``M_t`` is
+        therefore the optimal sine-diagonal surrogate of M: the best available
+        spectral preconditioner for iterative inner solves on the
+        non-diagonalizable 2D consistent-mass systems (the reference hides
+        these solves inside MUMPS, ``Control_Wave_PC.py:480-484``)."""
+        muM, _ = self.spectrum
+        if muM is not None:
+            return muM
+        j = np.arange(1, self.N_x)
+        c = np.cos(np.pi * j / self.N_x)
+        h = self.h
+        mt = (h * h / 12.0) * (6.0 + 2.0 * c[:, None] + 2.0 * c[None, :] + 2.0 * np.outer(c, c))
+        return host_const(mt.ravel(), self.dtype)
 
     # --------------------------------------------------------------- dense
 

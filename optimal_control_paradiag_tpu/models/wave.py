@@ -193,13 +193,18 @@ class WaveControlProblem:
             cfg = self.config
             if solver.inner == "auto":
                 if not self.space.diagonalizable:
-                    # 2D consistent mass: exact per-mode dense block inverses
-                    # (the MUMPS analogue) when memory allows; otherwise the
-                    # best-effort coupled block-COCG (see pc.py notes on
-                    # indefinite-Helmholtz modes).
-                    n = self.space.n
-                    if cfg.N_t * (2 * n) ** 2 <= 3e8:
-                        variant = "blockdense"
+                    # 2D consistent mass: exact structured direct inner solves
+                    # (block-Thomas over grid lines, half-spectrum -- the
+                    # scalable MUMPS analogue, paradiag/blockline.py) when the
+                    # factors fit; otherwise the best-effort coupled
+                    # block-COCG with tensor-mass spectral preconditioning
+                    # (see pc.py notes on indefinite-Helmholtz modes).
+                    from optimal_control_paradiag_tpu.paradiag.blockline import (
+                        blockline_entries,
+                    )
+
+                    if blockline_entries(cfg.N_t, self.space.n1d) <= 4e8:
+                        variant = "blockline"
                     else:
                         variant = "block"
             elif solver.inner == "dst":
@@ -254,7 +259,14 @@ class WaveControlProblem:
         :func:`ops.allatonce.build_rhs`) and parameter sweeps sharing one
         discretization. (The reference has no multi-RHS path: each run
         re-assembles and re-factorizes through PETSc/MUMPS,
-        ``Control_Wave_PC.py:583-631``.)"""
+        ``Control_Wave_PC.py:583-631``.)
+
+        Note on iterative methods (gmres/minres/spectral) under vmap: the
+        convergence ``while_loop`` runs until ALL batch lanes meet their
+        stopping test, so the whole batch pays for its slowest lane, and the
+        returned per-lane iteration counts / residual histories reflect the
+        lock-stepped batched loop, not what each lane would do sequentially.
+        The direct 'woodbury' method has no such coupling."""
         solver = solver or SolverConfig()
         key = (solver, "batched")
         if key not in self._solver_cache:

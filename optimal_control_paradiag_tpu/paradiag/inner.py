@@ -70,15 +70,22 @@ def make_cocg_inner_solver(
     maxiter: int = 50,
 ) -> Callable:
     """Batched preconditioned COCG for ``(sigma M + dt^2/2 K) w = r`` with the
-    consistent 2D mass matrix; preconditioner = exact lumped-mass spectral
-    inverse. Unconjugated inner products throughout (complex symmetry)."""
+    consistent 2D mass matrix; preconditioner = exact tensor-part mass spectral
+    inverse (``P1Space.spectrum_tensor``: M minus its zero-sine-diagonal
+    ``S_x (x) S_y`` remainder -- much closer to M than the lumped surrogate).
+    Unconjugated inner products throughout (complex symmetry).
+
+    Caveat: at modes whose complex shift sits near the negative real axis
+    (indefinite-Helmholtz resonance) COCG can stall or break down -- a direct
+    inner solve (``pc_variant='blockline'``/``'blockdense'``) is the robust
+    route there; this solver is the memory-free best-effort fallback."""
     c = 0.5 * dt * dt
     _, muK = space.spectrum
     muK = host_const(np.asarray(muK)[None, :], space.dtype)
-    m_lumped = space.h**space.dim
+    muMt = host_const(np.asarray(space.spectrum_tensor)[None, :], space.dtype)
 
     def pinv(sigma, r):
-        return space.idst(space.dst(r) / (sigma * m_lumped + c * muK))
+        return space.idst(space.dst(r) / (sigma * muMt + c * muK))
 
     def make_A(sigma):
         def A(w):

@@ -160,28 +160,33 @@ def build_preconditioner(
         return apply_fulldiag
 
     if variant == "block":
-        # Robust non-diagonalizable path (2D consistent mass): solve the
+        # Iterative non-diagonalizable path (2D consistent mass): solve the
         # coupled per-mode 2x2-block system P_k w = r directly (no S-eig
         # decoupling, hence no division by Lambda_2 -- stable for any N_t,
         # including N_t % 4 == 0 where Lambda_2(N_t/4) ~ 0). Negating the
         # p-row makes the block matrix complex SYMMETRIC:
         #   [[L1 M + c L2 K,  -theta M], [-theta M, -(conj(L1) M + c conj(L2) K)]]
-        # solved by batched COCG preconditioned with the exact lumped-mass
-        # sine-spectral 2x2 Cramer inverse.
+        # solved by batched COCG preconditioned with the tensor-part mass
+        # sine-spectral 2x2 Cramer inverse (``P1Space.spectrum_tensor``: the
+        # optimal sine-diagonal surrogate -- M minus its zero-sine-diagonal
+        # S_x (x) S_y remainder). Memory-free, but COCG can stall at
+        # indefinite-Helmholtz resonant modes; prefer 'blockline' (exact
+        # structured direct) when its factors fit.
         theta = op.dt * op.dt / (op.gamma**0.5)
         _, muK = sp.spectrum
         muK_h = np.asarray(muK, np.float64)[None, :]
-        muM_l = sp.h**sp.dim  # lumped mass eigenvalue (scalar)
+        muMt_h = np.asarray(sp.spectrum_tensor, np.float64)[None, :]
         L1h = np.asarray(e.Lambda1)[:, None]
         L2h = np.asarray(e.Lambda2)[:, None]
-        b11_h = L1h * muM_l + c * L2h * muK_h
-        pdet_h = -(np.abs(b11_h) ** 2) - (theta * muM_l) ** 2  # real, < 0
+        b11_h = L1h * muMt_h + c * L2h * muK_h
+        pdet_h = -(np.abs(b11_h) ** 2) - (theta * muMt_h) ** 2  # real, < 0
         L1 = host_const(L1h, cdtype)
         L2 = host_const(L2h, cdtype)
         L1c = host_const(np.conj(L1h), cdtype)
         L2c_ = host_const(np.conj(L2h), cdtype)
         b11 = host_const(b11_h, cdtype)
         b11c = host_const(np.conj(b11_h), cdtype)
+        bcoup = host_const(theta * muMt_h, rdtype)
         pdet = host_const(pdet_h, rdtype)
 
         def block_A(w):
@@ -193,8 +198,8 @@ def build_preconditioner(
 
         def block_pinv(r):
             rt = sp.dst(r)
-            zu = (-b11c * rt[0] + (theta * muM_l) * rt[1]) / pdet
-            zp = ((theta * muM_l) * rt[0] + b11 * rt[1]) / pdet
+            zu = (-b11c * rt[0] + bcoup * rt[1]) / pdet
+            zp = (bcoup * rt[0] + b11 * rt[1]) / pdet
             return sp.idst(jnp.stack([zu, zp]))
 
         def apply_block(r: jnp.ndarray) -> jnp.ndarray:
@@ -264,6 +269,23 @@ def build_preconditioner(
             return layout.canonical(y.astype(rdtype))
 
         return apply_blockdense
+
+    if variant == "blockline":
+        # Structured direct (block-Thomas over grid lines, half-spectrum):
+        # the scalable MUMPS analogue for 2D consistent mass -- exact per-mode
+        # solves at ~n1d^3 (not n1d^4) stored entries. See paradiag/blockline.py.
+        from optimal_control_paradiag_tpu.paradiag.blockline import build_blockline_solver
+
+        inner_solve = build_blockline_solver(op)
+
+        def apply_blockline(r: jnp.ndarray) -> jnp.ndarray:
+            rhat = ifft_t(layout.time_local(r))
+            rhat = layout.mode_local(rhat)
+            w = inner_solve(rhat)
+            y = fft_t_real(layout.time_local(w))
+            return layout.canonical(y.astype(rdtype))
+
+        return apply_blockline
 
     if variant != "eig":
         raise ValueError(f"unknown variant {variant!r}")

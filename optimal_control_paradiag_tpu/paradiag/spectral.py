@@ -64,7 +64,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,11 @@ def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _Spec
     e = circulant_eigs(N_t, op.dt, op.gamma)
     muM_raw, muK = sp.spectrum
     if muM_raw is None:
-        muM_raw = np.full(sp.n, sp.h**sp.dim)  # lumped surrogate
+        # Tensor-part mass surrogate: the optimal sine-diagonal approximation
+        # of the 2D consistent mass (M minus its zero-sine-diagonal
+        # S_x (x) S_y remainder; see P1Space.spectrum_tensor) -- much tighter
+        # than the lumped h^2 I surrogate used before.
+        muM_raw = np.asarray(sp.spectrum_tensor, np.float64)
     muM, muK = np.asarray(muM_raw, np.float64), np.asarray(muK, np.float64)
     L1 = np.asarray(e.Lambda1)[:, None]
     L2 = np.asarray(e.Lambda2)[:, None]
@@ -469,8 +473,8 @@ def build_woodbury_solver(
     *,
     refine: int = 1,
     layout=None,
-    time_transform: str = None,
-    half_spectrum: bool = None,
+    time_transform: Optional[str] = None,
+    half_spectrum: Optional[bool] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct all-at-once solver ``b -> x`` via the rank-4 Woodbury identity
     in ParaDiag-diagonalized coordinates (module docstring). Exact in float64;
@@ -490,6 +494,8 @@ def build_woodbury_solver(
     bit-compatible answers (see :func:`_build_woodbury_half`)."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
+    if time_transform not in ("fft", "dft"):
+        raise ValueError(f"unknown time_transform {time_transform!r}")
     if half_spectrum is None:
         half_spectrum = layout is None
     pl = _spectral_plan(op)
