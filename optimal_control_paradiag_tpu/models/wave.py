@@ -104,7 +104,7 @@ class WaveControlProblem:
         op = self.operator
         if solver.method == "direct":
 
-            def run(b):
+            def run(b, x0=None):
                 A = jnp.asarray(op.dense())
                 x = jnp.linalg.solve(A, b.reshape(-1)).reshape(op.shape)
                 return x, None
@@ -115,7 +115,7 @@ class WaveControlProblem:
             wb = build_woodbury_solver(op, refine=solver.refine)
 
             @jax.jit
-            def run(b):
+            def run(b, x0=None):
                 return wb(b), None
 
             return run
@@ -130,11 +130,12 @@ class WaveControlProblem:
                 step = build_pallas_spectral_step(op)
 
                 @jax.jit
-                def run(b):
+                def run(b, x0=None):
                     # Fused D^{-1}(D+B): solve G xi = D^{-1} b_hat directly.
                     res = gmres(
                         step,
                         D_inv(to_s(b)),
+                        x0=None if x0 is None else to_s(x0),
                         restart=solver.restart,
                         rtol=solver.rtol,
                         atol=solver.atol,
@@ -145,11 +146,12 @@ class WaveControlProblem:
                 return run
 
             @jax.jit
-            def run(b):
+            def run(b, x0=None):
                 res = gmres(
                     A_hat,
                     to_s(b),
                     M=D_inv,
+                    x0=None if x0 is None else to_s(x0),
                     restart=solver.restart,
                     rtol=solver.rtol,
                     atol=solver.atol,
@@ -171,11 +173,12 @@ class WaveControlProblem:
             M = pc_spd if solver.pc == "paradiag" else None
 
             @jax.jit
-            def run(b):
+            def run(b, x0=None):
                 res = minres(
                     matvec_sym,
                     swap_rhs(b),
                     M=M,
+                    x0=x0,
                     rtol=solver.rtol,
                     maxiter=solver.maxiter,
                 )
@@ -223,11 +226,12 @@ class WaveControlProblem:
             pc_apply = build_preconditioner(op, variant=variant, inner_solver=inner)
 
         @jax.jit
-        def run(b):
+        def run(b, x0=None):
             res = gmres(
                 op.matvec,
                 b,
                 M=pc_apply,
+                x0=x0,
                 restart=solver.restart,
                 rtol=solver.rtol,
                 atol=solver.atol,
@@ -273,12 +277,19 @@ class WaveControlProblem:
             self._solver_cache[key] = jax.jit(jax.vmap(self._make_solver(solver)))
         return self._solver_cache[key]
 
-    def solve(self, solver: Optional[SolverConfig] = None) -> WaveSolution:
+    def solve(
+        self, solver: Optional[SolverConfig] = None, x0: Optional[jnp.ndarray] = None
+    ) -> WaveSolution:
         """Solve the all-at-once system; returns physical (unscaled) u, p.
 
         The default mirrors the reference's ParaDiag run
-        (``Control_Wave_PC.py:346-359, 567``)."""
-        x, res = self.make_solver_fn(solver)(self.rhs)
+        (``Control_Wave_PC.py:346-359, 567``). ``x0``: warm-start iterate in
+        SCALED unknowns, shape ``(2, N_t, n)`` (e.g. from
+        ``utils.checkpoint.warm_start``) -- used by the iterative methods
+        (note rtol is then measured against the warm initial residual, PETSc
+        semantics; pass an ``atol`` for resume-to-absolute-target runs);
+        the direct methods ignore it."""
+        x, res = self.make_solver_fn(solver)(self.rhs, x0)
         u, p = self._unscale(x)
         return WaveSolution(u=u, p=p, result=res)
 

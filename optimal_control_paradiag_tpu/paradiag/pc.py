@@ -81,12 +81,9 @@ def build_preconditioner(
     if time_transform not in ("fft", "dft"):
         raise ValueError(f"unknown time_transform {time_transform!r}")
     if layout is None:
-        class _Identity:
-            canonical = staticmethod(lambda x: x)
-            time_local = staticmethod(lambda x: x)
-            mode_local = staticmethod(lambda x: x)
+        from optimal_control_paradiag_tpu.parallel.sharding import IdentityLayout
 
-        layout = _Identity()
+        layout = IdentityLayout()
     if not op.scaled:
         raise ValueError(
             "The ParaDiag preconditioner requires the sqrt(gamma)-scaled "

@@ -115,10 +115,11 @@ class _SpectralPlan:
 
 def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _SpectralPlan:
     """``mass_surrogate=True``: for non-sine-diagonalizable spaces (2D
-    consistent mass), substitute the lumped mass eigenvalues ``h^dim`` --
-    the resulting plan describes an APPROXIMATION of the operator, valid
-    only for preconditioner construction (paradiag/symmetric.py), never for
-    the exact spectral/Woodbury solves."""
+    consistent mass), substitute the tensor-part mass eigenvalues
+    (``P1Space.spectrum_tensor``) -- the resulting plan describes an
+    APPROXIMATION of the operator, valid only for preconditioner
+    construction (paradiag/symmetric.py), never for the exact
+    spectral/Woodbury solves."""
     sp = op.space
     if not sp.diagonalizable and not mass_surrogate:
         raise ValueError("spectral solver needs a sine-diagonalizable space")
@@ -180,19 +181,6 @@ def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _Spec
     )
 
 
-class _IdentityLayout:
-    """No-op stand-in for :class:`parallel.sharding.ParallelLayout`."""
-
-    def canonical(self, x):
-        return x
-
-    def time_local(self, x):
-        return x
-
-    def mode_local(self, x):
-        return x
-
-
 def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan, layout=None, time_transform="fft"):
     """(A_hat, D_inv, to_spectral, from_spectral) from a prepared plan.
 
@@ -203,7 +191,11 @@ def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan, layout=None, time_transf
     MXU matmuls -- XLA's SPMD partitioning of complex FFTs miscompiles)."""
     sp = op.space
     cdtype, rdtype = pl.cdtype, pl.rdtype
-    lay = layout if layout is not None else _IdentityLayout()
+    if layout is None:
+        from optimal_control_paradiag_tpu.parallel.sharding import IdentityLayout
+
+        layout = IdentityLayout()
+    lay = layout
     if time_transform == "dft":
         from optimal_control_paradiag_tpu.ops.transforms import (
             dft_matrices,

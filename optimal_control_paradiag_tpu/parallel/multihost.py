@@ -25,20 +25,29 @@ import jax
 
 
 def initialize(coordinator_address: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None) -> None:
-    """``jax.distributed.initialize`` wrapper; no-op if already initialized
-    or single-process. On TPU pods all arguments are discovered from the
-    environment."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """``jax.distributed.initialize`` wrapper; safe to call unconditionally.
+
+    MUST run before the first backend touch (any ``jax.devices()`` /
+    ``jax.process_count()`` / eager op): JAX finalizes its runtime on first
+    use, after which distributed initialization is ineffective. This wrapper
+    therefore never queries the backend itself -- it attempts distributed
+    init directly and treats 'already initialized' (RuntimeError) and
+    'single-process environment, nothing to discover' (ValueError) as no-ops.
+    On TPU pods all arguments are discovered from the environment; for
+    multi-process CPU/GPU runs pass all three explicitly
+    (exercised by ``tests/test_multihost.py`` with 2 CPU processes)."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized environments
-        pass
+    except RuntimeError:
+        pass  # already initialized
+    except ValueError:
+        # single-process environment: no coordinator to discover and none given
+        if coordinator_address is not None:
+            raise
 
 
 def pod_layout(n_space: int = 1):

@@ -72,3 +72,13 @@ class ParallelLayout:
 
 def make_layout(n_time: int, n_space: int = 1, devices=None) -> ParallelLayout:
     return ParallelLayout(mesh=make_mesh(n_time, n_space, devices))
+
+
+class IdentityLayout:
+    """Single-device stand-in for :class:`ParallelLayout`: every stage
+    constraint is a no-op. Shared by the preconditioner / spectral / symmetric
+    builders so their pipelines read identically with and without sharding."""
+
+    canonical = staticmethod(lambda x: x)
+    time_local = staticmethod(lambda x: x)
+    mode_local = staticmethod(lambda x: x)
