@@ -102,8 +102,14 @@ class SolverConfig:
         right one: spectral when diagonalizable, COCG for 2D consistent
         mass), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), or 'cocg'.
       pc_side: 'left' (PETSc default, preconditioned-residual convergence)
-        or 'right' (true-residual convergence; robust for float32 at large
-        N_t where the preconditioned norm is amplified ~N_t^2).
+        or 'right' (convergence measured on the unpreconditioned residual).
+        Float32 note (measured, tests/test_float32.py): in float32 at large
+        N_t NEITHER side of physical-coordinate GMRES is reliable -- left
+        stalls ~10x above the rounding floor and right's recurrence-based
+        residual estimate drifts from the true residual (claims 2e-3 while
+        the float64 oracle shows ~3e-2). The float32-stable path is
+        method='spectral' or 'woodbury' (paradiag/spectral.py), which reach
+        the rounding floor.
       restart: GMRES restart length (ref ``:351``).
       rtol: relative tolerance on the (preconditioned) residual norm.
       atol: absolute tolerance.

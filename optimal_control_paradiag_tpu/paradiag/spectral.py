@@ -483,7 +483,8 @@ def build_woodbury_solver(
     ``half_spectrum`` (default: on when single-device): exploit the Hermitian
     time spectrum of the real state to run transforms and elementwise work on
     the ``N_t//2 + 1`` rfft bins only -- ~2x less transform/elementwise work,
-    bit-compatible answers (see :func:`_build_woodbury_half`)."""
+    machine-precision-equivalent answers (measured: <= 7e-6 relative in
+    float32, tests/test_float32.py; see :func:`_build_woodbury_half`)."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
     if time_transform not in ("fft", "dft"):
