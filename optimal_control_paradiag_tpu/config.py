@@ -99,8 +99,11 @@ class SolverConfig:
         'block' (coupled per-mode 2x2-block COCG with tensor-mass spectral
         preconditioning -- memory-free best-effort beyond blockline's cap).
       inner: per-mode inner solver for the 'eig' variant: 'auto' (pick the
-        right one: spectral when diagonalizable, COCG for 2D consistent
-        mass), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), or 'cocg'.
+        right one: spectral when diagonalizable, blockline/blockdense direct
+        for non-diagonalizable spaces when their factors fit, COCG
+        otherwise), 'dst', 'tridiag_thomas', 'tridiag_pcr' (1D), 'cocg'
+        (structured tensor-mass-preconditioned), or 'cocg_jacobi'
+        (unstructured meshes; Jacobi-preconditioned).
       pc_side: 'left' (PETSc default, preconditioned-residual convergence)
         or 'right' (convergence measured on the unpreconditioned residual).
         Float32 note (measured, tests/test_float32.py): in float32 at large
@@ -142,7 +145,7 @@ class SolverConfig:
             raise ValueError(f"unknown pc {self.pc!r}")
         if self.pc_variant not in ("fulldiag", "eig", "block", "blockdense", "blockline"):
             raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
-        if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"):
+        if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg", "cocg_jacobi"):
             raise ValueError(f"unknown inner solver {self.inner!r}")
         if self.pc_side not in ("left", "right"):
             raise ValueError(f"unknown pc_side {self.pc_side!r}")

@@ -1,0 +1,150 @@
+"""P1 space on an ARBITRARY triangle mesh -- the unstructured path.
+
+The reference supports general meshes through Firedrake (any ``Mesh`` feeds
+the same UFL forms, ``Control_Wave_PC.py:16-19, 86-179``); the structured
+:class:`fem.space.P1Space` covers its actually-used unit interval/square. This
+module closes the generality gap TPU-natively:
+
+- assembly: the native C++ O(nnz) P1 assembler (``native/paradiag_host.cpp``,
+  the PETSc-core analogue) builds CSR mass/stiffness over all nodes;
+- Dirichlet elimination: boundary nodes are detected topologically (edges
+  incident to exactly one triangle) and eliminated, leaving interior-DoF
+  operators exactly like the structured space;
+- apply: TPU-friendly ELL SpMV (:class:`ops.sparse.CSRMatrix`) -- one static
+  gather + multiply + row-sum, batched over leading axes.
+
+No sine transform exists here (``diagonalizable = False``); ParaDiag inner
+solves use the dense per-mode factorization (``pc_variant='blockdense'``,
+exact -- the MUMPS analogue) or Jacobi-preconditioned batched COCG
+(``inner='cocg_jacobi'``) when memory is tight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.ops.sparse import CSRMatrix, csr_from_parts
+from optimal_control_paradiag_tpu.utils.constants import host_const
+
+
+def boundary_nodes(n_points: int, triangles: np.ndarray) -> np.ndarray:
+    """Boolean mask of boundary nodes: endpoints of edges that belong to
+    exactly one triangle."""
+    tris = np.asarray(triangles, np.int64)
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [0, 2]]])
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    bnd_edges = uniq[counts == 1]
+    mask = np.zeros(n_points, bool)
+    mask[bnd_edges.ravel()] = True
+    return mask
+
+
+def _interior_csr(indptr, indices, data, keep: np.ndarray, dtype) -> CSRMatrix:
+    """Restrict a full-node CSR to the ``keep`` (interior) rows/columns."""
+    n_full = len(indptr) - 1
+    new_id = -np.ones(n_full, np.int64)
+    new_id[keep] = np.arange(keep.sum())
+    ip = [0]
+    cols = []
+    vals = []
+    for i in np.flatnonzero(keep):
+        for k in range(indptr[i], indptr[i + 1]):
+            j = indices[k]
+            if new_id[j] >= 0:
+                cols.append(new_id[j])
+                vals.append(data[k])
+        ip.append(len(cols))
+    n = int(keep.sum())
+    return csr_from_parts(
+        (n, n),
+        np.asarray(ip, np.int32),
+        np.asarray(cols, np.int32),
+        np.asarray(vals, np.float64),
+        dtype=np.dtype(dtype),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralP1Space:
+    """Interior-DoF P1 space on a triangle mesh; duck-type-compatible with
+    :class:`fem.space.P1Space` for the operator/problem/PC layers
+    (``dim, n, dtype, coords, interpolate, apply_mass, apply_stiffness,
+    mass_dense, stiffness_dense, diagonalizable, spectrum``)."""
+
+    points: np.ndarray  # (n_points, 2) float64, all nodes
+    triangles: np.ndarray  # (n_tri, 3) int32
+    dtype: object
+    interior: np.ndarray  # (n_points,) bool
+    M_csr: CSRMatrix
+    K_csr: CSRMatrix
+
+    dim: int = 2
+    diagonalizable: bool = False
+
+    @property
+    def n(self) -> int:
+        return self.M_csr.shape[0]
+
+    @property
+    def spectrum(self) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """No sine-transform diagonalization on general meshes."""
+        return (None, None)
+
+    @property
+    def coords(self) -> Tuple[np.ndarray, ...]:
+        pts = self.points[self.interior]
+        return (pts[:, 0].copy(), pts[:, 1].copy())
+
+    def interpolate(self, fn: Callable[..., np.ndarray]) -> np.ndarray:
+        return host_const(np.asarray(fn(*self.coords), np.float64), self.dtype)
+
+    def apply_mass(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.M_csr.spmv(x)
+
+    def apply_stiffness(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.K_csr.spmv(x)
+
+    def mass_dense(self) -> np.ndarray:
+        return self.M_csr.todense()
+
+    def stiffness_dense(self) -> np.ndarray:
+        return self.K_csr.todense()
+
+    def mass_diag(self) -> np.ndarray:
+        return np.diag(self.M_csr.todense()).copy()
+
+    def stiffness_diag(self) -> np.ndarray:
+        return np.diag(self.K_csr.todense()).copy()
+
+
+def make_general_space(
+    points: np.ndarray,
+    triangles: np.ndarray,
+    dtype=jnp.float64,
+    interior: Optional[np.ndarray] = None,
+) -> GeneralP1Space:
+    """Assemble a :class:`GeneralP1Space` with the native C++ assembler
+    (falls back to nothing: the native layer is required for this path --
+    matching its role as the host runtime, SURVEY.md section 2.2).
+
+    ``interior``: optional boolean mask of non-Dirichlet nodes; default =
+    topological boundary detection (homogeneous Dirichlet everywhere on the
+    boundary, like the reference, ``Control_Wave_PC.py:43-45``)."""
+    from optimal_control_paradiag_tpu import native
+
+    pts = np.ascontiguousarray(points, np.float64)
+    tris = np.ascontiguousarray(triangles, np.int32)
+    indptr, indices, mass, stiff = native.assemble_p1_triangles(pts, tris)
+    if interior is None:
+        interior = ~boundary_nodes(pts.shape[0], tris)
+    interior = np.asarray(interior, bool)
+    M = _interior_csr(indptr, indices, mass, interior, dtype)
+    K = _interior_csr(indptr, indices, stiff, interior, dtype)
+    return GeneralP1Space(
+        points=pts, triangles=tris, dtype=dtype, interior=interior, M_csr=M, K_csr=K
+    )

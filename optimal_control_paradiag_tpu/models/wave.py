@@ -25,6 +25,7 @@ from optimal_control_paradiag_tpu.ops.allatonce import build_operator, build_rhs
 from optimal_control_paradiag_tpu.paradiag.inner import (
     make_cocg_inner_solver,
     make_dst_inner_solver,
+    make_jacobi_cocg_inner_solver,
     make_tridiag_inner_solver,
 )
 from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
@@ -44,11 +45,16 @@ class WaveSolution(NamedTuple):
 
 
 class WaveControlProblem:
-    """All-at-once optimal control of the wave equation, 1D or 2D."""
+    """All-at-once optimal control of the wave equation, 1D or 2D.
 
-    def __init__(self, config: ProblemConfig):
+    ``space``: optional pre-built space overriding the structured default --
+    e.g. a :class:`fem.general.GeneralP1Space` on an arbitrary triangle mesh
+    (the reference's general-``Mesh`` capability, ``Control_Wave_PC.py:16-19``);
+    it must be 2D and ``config.N_x`` is then ignored for geometry."""
+
+    def __init__(self, config: ProblemConfig, space=None):
         self.config = config
-        self.space: P1Space = make_space(
+        self.space: P1Space = space if space is not None else make_space(
             config.dim, config.N_x, mass=config.mass, dtype=config.dtype
         )
         self.operator = build_operator(
@@ -195,21 +201,35 @@ class WaveControlProblem:
             inner = None
             cfg = self.config
             if solver.inner == "auto":
-                if not self.space.diagonalizable:
-                    # 2D consistent mass: exact structured direct inner solves
-                    # (block-Thomas over grid lines, half-spectrum -- the
-                    # scalable MUMPS analogue, paradiag/blockline.py) when the
-                    # factors fit; otherwise the best-effort coupled
-                    # block-COCG with tensor-mass spectral preconditioning
-                    # (see pc.py notes on indefinite-Helmholtz modes).
-                    from optimal_control_paradiag_tpu.paradiag.blockline import (
-                        blockline_entries,
-                    )
+                # Auto-pick only when the user kept the default variant; an
+                # explicit pc_variant is always respected.
+                if not self.space.diagonalizable and solver.pc_variant == "fulldiag":
+                    if hasattr(self.space, "n1d"):
+                        # 2D consistent mass (structured grid): exact
+                        # structured direct inner solves (block-Thomas over
+                        # grid lines, half-spectrum -- the scalable MUMPS
+                        # analogue, paradiag/blockline.py) when the factors
+                        # fit; otherwise the best-effort coupled block-COCG
+                        # with tensor-mass spectral preconditioning (see
+                        # pc.py notes on indefinite-Helmholtz modes).
+                        from optimal_control_paradiag_tpu.paradiag.blockline import (
+                            blockline_entries,
+                        )
 
-                    if blockline_entries(cfg.N_t, self.space.n1d) <= 4e8:
-                        variant = "blockline"
+                        if blockline_entries(cfg.N_t, self.space.n1d) <= 4e8:
+                            variant = "blockline"
+                        else:
+                            variant = "block"
                     else:
-                        variant = "block"
+                        # Unstructured mesh: exact dense per-mode inverses
+                        # when memory allows, else Jacobi-COCG.
+                        if cfg.N_t * (2 * self.space.n) ** 2 <= 3e8:
+                            variant = "blockdense"
+                        else:
+                            variant = "eig"
+                            inner = make_jacobi_cocg_inner_solver(
+                                self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
+                            )
             elif solver.inner == "dst":
                 variant = "eig"
                 inner = make_dst_inner_solver(self.space, cfg.dt)
@@ -221,6 +241,11 @@ class WaveControlProblem:
             elif solver.inner == "cocg":
                 variant = "eig"
                 inner = make_cocg_inner_solver(
+                    self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
+                )
+            elif solver.inner == "cocg_jacobi":
+                variant = "eig"
+                inner = make_jacobi_cocg_inner_solver(
                     self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
                 )
             pc_apply = build_preconditioner(op, variant=variant, inner_solver=inner)

@@ -69,9 +69,10 @@ def build_blockline_solver(op) -> Callable[[jnp.ndarray], jnp.ndarray]:
     which holds for the time-spectrum of any real residual.
     """
     sp = op.space
-    if sp.dim != 2:
+    if sp.dim != 2 or not hasattr(sp, "n1d"):
         raise ValueError("blockline is the 2D structured-grid direct solver; "
-                         "1D spaces have exact tridiagonal/spectral paths")
+                         "1D spaces have exact tridiagonal/spectral paths and "
+                         "unstructured meshes use blockdense/cocg_jacobi")
     rdtype = sp.dtype
     cdtype = jnp.result_type(rdtype, jnp.complex64)
     m = sp.n1d

@@ -63,6 +63,39 @@ def make_tridiag_inner_solver(space: P1Space, dt: float, method: str = "pcr") ->
     return solve
 
 
+def make_jacobi_cocg_inner_solver(
+    space,
+    dt: float,
+    tol: float = 1e-10,
+    maxiter: int = 200,
+) -> Callable:
+    """Batched Jacobi-preconditioned COCG for ``(sigma M + dt^2/2 K) w = r``
+    on a GENERAL (unstructured) space -- any space exposing ``apply_mass``,
+    ``apply_stiffness``, ``mass_diag``, ``stiffness_diag``. The unstructured
+    counterpart of :func:`make_cocg_inner_solver` (which needs the
+    sine-transform spectrum); the exact alternative is
+    ``pc_variant='blockdense'``."""
+    c = 0.5 * dt * dt
+    mdiag = host_const(np.asarray(space.mass_diag(), np.float64)[None, :], space.dtype)
+    kdiag = host_const(np.asarray(space.stiffness_diag(), np.float64)[None, :], space.dtype)
+
+    def solve(sigma, rhs):
+        def A(w):
+            return sigma * space.apply_mass(w) + c * space.apply_stiffness(w)
+
+        x, _ = cocg(
+            A,
+            rhs,
+            M=lambda r: r / (sigma * mdiag + c * kdiag),
+            dot_axes=(-1,),
+            tol=tol,
+            maxiter=maxiter,
+        )
+        return x
+
+    return solve
+
+
 def make_cocg_inner_solver(
     space: P1Space,
     dt: float,

@@ -115,7 +115,8 @@ def build_preconditioner(
             return jnp.fft.fft(y, axis=1).real
     # Materialize lazily-cached transform data eagerly: first touch must not
     # happen inside a jit trace, or the cache would hold a leaked tracer.
-    _ = sp.dst_matrix
+    # (Unstructured GeneralP1Space has no dst_matrix -- skip.)
+    getattr(sp, "dst_matrix", None)
     _ = sp.spectrum
 
     if variant == "fulldiag":
@@ -171,6 +172,12 @@ def build_preconditioner(
         # structured direct) when its factors fit.
         theta = op.dt * op.dt / (op.gamma**0.5)
         _, muK = sp.spectrum
+        if muK is None:
+            raise ValueError(
+                "variant='block' needs a structured-grid space (sine-"
+                "diagonalizable stiffness); use 'blockdense' or "
+                "inner='cocg_jacobi' on unstructured meshes"
+            )
         muK_h = np.asarray(muK, np.float64)[None, :]
         muMt_h = np.asarray(sp.spectrum_tensor, np.float64)[None, :]
         L1h = np.asarray(e.Lambda1)[:, None]

@@ -1,0 +1,106 @@
+"""Unstructured-mesh path end-to-end (VERDICT round-1 item 5): the native
+C++ P1 assembler + ELL SpMV + blockdense / Jacobi-COCG inner solves, driven
+through the full problem layer on a PERTURBED triangulation -- the
+general-``Mesh`` capability the reference gets from Firedrake
+(``Control_Wave_PC.py:16-19, 86-179``) but only ever runs structured."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+from optimal_control_paradiag_tpu import native
+from optimal_control_paradiag_tpu.fem.general import (
+    boundary_nodes,
+    make_general_space,
+)
+from optimal_control_paradiag_tpu.fem.space import make_space
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native toolchain unavailable")
+
+
+def _perturbed_square(N: int, amp: float = 0.18, seed: int = 0):
+    """Unit-square triangulation with interior nodes randomly displaced by
+    up to ``amp * h`` -- a genuinely unstructured (non-tensor) mesh whose
+    boundary stays exact."""
+    pts, tris = native.unit_square_mesh(N, diagonal="left")
+    bnd = boundary_nodes(pts.shape[0], tris)
+    rng = np.random.default_rng(seed)
+    h = 1.0 / N
+    pts = pts.copy()
+    pts[~bnd] += rng.uniform(-amp * h, amp * h, size=pts[~bnd].shape)
+    return pts, tris
+
+
+def test_general_space_matches_structured_on_unperturbed_mesh():
+    """On the exact Friedrichs-Keller triangulation the general path must
+    reproduce the structured stencil operators entry for entry."""
+    N = 7
+    pts, tris = native.unit_square_mesh(N, diagonal="left")
+    gsp = make_general_space(pts, tris)
+    ssp = make_space(2, N)
+    assert gsp.n == ssp.n
+    np.testing.assert_allclose(gsp.mass_dense(), ssp.mass_dense(), atol=1e-13)
+    np.testing.assert_allclose(gsp.stiffness_dense(), ssp.stiffness_dense(), atol=1e-12)
+    # interior coords line up (row-major interior ordering both sides)
+    np.testing.assert_allclose(gsp.coords[0], ssp.coords[0], atol=0)
+    np.testing.assert_allclose(gsp.coords[1], ssp.coords[1], atol=0)
+
+
+def test_boundary_detection_unit_square():
+    N = 5
+    pts, tris = native.unit_square_mesh(N)
+    bnd = boundary_nodes(pts.shape[0], tris)
+    on_edge = (
+        (pts[:, 0] == 0.0) | (pts[:, 0] == 1.0) | (pts[:, 1] == 0.0) | (pts[:, 1] == 1.0)
+    )
+    np.testing.assert_array_equal(bnd, on_edge)
+
+
+def test_unstructured_end_to_end_matches_direct():
+    """Manufactured 2D problem on a perturbed triangulation: ParaDiag GMRES
+    (auto -> blockdense exact inner solves) equals the dense direct solve."""
+    pts, tris = _perturbed_square(6)
+    cfg = ProblemConfig(N_x=6, N_t=8, dim=2)
+    prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
+    sol = prob.solve(SolverConfig(rtol=1e-10))
+    assert bool(sol.result.converged)
+    sol_lu = prob.solve(SolverConfig(method="direct"))
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_lu.u), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol.p), np.asarray(sol_lu.p), atol=1e-7)
+
+
+def test_unstructured_cocg_jacobi_inner_matches_blockdense():
+    pts, tris = _perturbed_square(5, seed=3)
+    cfg = ProblemConfig(N_x=5, N_t=6, dim=2)
+    prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
+    sol_bd = prob.solve(SolverConfig(rtol=1e-10, pc_variant="blockdense"))
+    sol_cj = prob.solve(
+        SolverConfig(rtol=1e-10, inner="cocg_jacobi", inner_tol=1e-12, inner_maxiter=400)
+    )
+    assert bool(sol_bd.result.converged) and bool(sol_cj.result.converged)
+    np.testing.assert_allclose(np.asarray(sol_cj.u), np.asarray(sol_bd.u), atol=1e-7)
+
+
+def test_unstructured_manufactured_convergence():
+    """The aligned error metric decreases under mesh refinement on perturbed
+    meshes (discretization correctness of the unstructured assembly)."""
+    errs = []
+    for N in (6, 12):
+        pts, tris = _perturbed_square(N, amp=0.15, seed=1)
+        cfg = ProblemConfig(N_x=N, N_t=2 * N, dim=2)
+        prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
+        sol = prob.solve(SolverConfig(rtol=1e-10))
+        assert bool(sol.result.converged)
+        # normalize the nodal-l2 metric by sqrt(n) for comparability across N
+        errs.append(prob.error_aligned(sol) / np.sqrt(prob.space.n))
+    assert errs[1] < 0.45 * errs[0], errs
+
+
+def test_blockline_rejects_unstructured():
+    pts, tris = _perturbed_square(5)
+    cfg = ProblemConfig(N_x=5, N_t=6, dim=2)
+    prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
+    with pytest.raises(ValueError, match="structured"):
+        prob.solve(SolverConfig(pc_variant="blockline"))
