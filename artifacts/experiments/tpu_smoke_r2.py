@@ -1,0 +1,160 @@
+"""Round-2 TPU smoke: accuracy + timing evidence for VERDICT items 2, 3, 7.
+
+Runs on the real chip (axon tunnel; single-client -- never run two at once).
+Prints one JSON line per stage, flushed, each guarded so later stages survive
+earlier failures. Timing protocol = bench.py's chained-solve fence.
+"""
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+from optimal_control_paradiag_tpu.models.wave import WaveSolution
+from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def chain_time(solve_fn, b, chain=50, reps=3):
+    """Median seconds per solve, amortized over a serialized chain."""
+
+    @jax.jit
+    def solve_chain(b):
+        def body(i, carry):
+            x = solve_fn(carry)
+            return b + 1e-20 * x
+
+        xlast = lax.fori_loop(0, chain - 1, body, b) if chain > 1 else b
+        x = solve_fn(xlast)
+        return jnp.sum(jnp.abs(x))
+
+    _ = float(solve_chain(b))  # compile+warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(solve_chain(b))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) / chain
+
+
+def stage(name, fn):
+    try:
+        t0 = time.time()
+        out = fn()
+        out = dict(out or {})
+        out.update(stage=name, ok=True, wall_s=round(time.time() - t0, 1))
+        emit(**out)
+    except Exception as exc:  # noqa: BLE001
+        emit(stage=name, ok=False, error=f"{type(exc).__name__}: {exc}"[:500])
+
+
+# ---------------------------------------------------------------- stage defs
+
+N_X, N_T = 2048, 1024
+cfg = ProblemConfig(N_x=N_X, N_t=N_T, dtype=jnp.float32)
+prob = WaveControlProblem(cfg)
+b = prob.rhs
+
+
+def tiny():
+    p = WaveControlProblem(ProblemConfig(N_x=64, N_t=64, dtype=jnp.float32))
+    sol = p.solve(SolverConfig(method="woodbury", refine=1))
+    return {"rel": float(p.relative_residual_f64(sol))}
+
+
+def woodbury(time_transform, half, refine=1):
+    wb = jax.jit(
+        build_woodbury_solver(
+            prob.operator, refine=refine, time_transform=time_transform, half_spectrum=half
+        )
+    )
+    x = wb(b)
+    x.block_until_ready()
+    u, p = x[0], x[1]  # scaled==physical at gamma=1
+    rel = prob.relative_residual_f64(WaveSolution(u=u, p=p, result=None))
+    ms = chain_time(wb, b) * 1e3
+    return {"rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+
+
+def spectral_gmres():
+    run = prob.make_solver_fn(SolverConfig(method="spectral", rtol=1e-5, restart=110, maxiter=110))
+    x, res = run(b)
+    x.block_until_ready()
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    ms = chain_time(lambda bb: run(bb)[0], b, chain=10) * 1e3
+    return {"iters": int(res.iterations), "rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+
+
+def lumped_2d():
+    p2 = WaveControlProblem(ProblemConfig(N_x=512, N_t=128, dim=2, mass="lumped", dtype=jnp.float32))
+    wb = jax.jit(build_woodbury_solver(p2.operator, refine=1))
+    b2 = p2.rhs
+    x = wb(b2)
+    x.block_until_ready()
+    rel = p2.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    ms = chain_time(wb, b2, chain=20) * 1e3
+    return {"n_dofs": 2 * p2.operator.N_t * p2.space.n, "rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+
+
+def batched():
+    B = 8
+    wb = build_woodbury_solver(prob.operator, refine=1)
+    vwb = jax.jit(jax.vmap(wb))
+    bs = jnp.broadcast_to(b, (B,) + b.shape)
+    x = vwb(bs)
+    x.block_until_ready()
+    ms = chain_time(vwb, bs, chain=10) * 1e3
+    return {"batch": B, "ms_per_batch": round(ms, 3), "solves_per_s": round(B / (ms / 1e3), 1)}
+
+
+def pallas_correctness():
+    from optimal_control_paradiag_tpu.paradiag.pallas_spectral import build_pallas_spectral_step
+    from optimal_control_paradiag_tpu.paradiag.spectral import build_spectral_system
+
+    A_hat, D_inv, to_s, from_s = build_spectral_system(prob.operator)
+    step_pl = jax.jit(build_pallas_spectral_step(prob.operator))
+    step_jnp = jax.jit(lambda xi: D_inv(A_hat(xi)))
+    xi = to_s(b)
+    y_pl = step_pl(xi)
+    y_jnp = step_jnp(xi)
+    y_pl.block_until_ready()
+    err = float(jnp.max(jnp.abs(y_pl - y_jnp)) / jnp.max(jnp.abs(y_jnp)))
+    ms_pl = chain_time(step_pl, xi, chain=100) * 1e3
+    ms_jnp = chain_time(step_jnp, xi, chain=100) * 1e3
+    return {"rel_err_vs_jnp": err, "ms_pallas": round(ms_pl, 4), "ms_jnp": round(ms_jnp, 4)}
+
+
+def pallas_gmres():
+    run = prob.make_solver_fn(
+        SolverConfig(method="spectral", use_pallas=True, rtol=1e-5, restart=110, maxiter=110)
+    )
+    x, res = run(b)
+    x.block_until_ready()
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    ms = chain_time(lambda bb: run(bb)[0], b, chain=10) * 1e3
+    return {"iters": int(res.iterations), "rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+
+
+stage("tiny_sanity", tiny)
+stage("woodbury_fft_half", lambda: woodbury("fft", True))
+stage("woodbury_dft_half", lambda: woodbury("dft", True))
+stage("woodbury_fft_half_refine2", lambda: woodbury("fft", True, refine=2))
+stage("woodbury_dft_half_refine2", lambda: woodbury("dft", True, refine=2))
+stage("spectral_gmres", spectral_gmres)
+stage("lumped_2d_woodbury", lumped_2d)
+stage("batched_woodbury_b8", batched)
+stage("pallas_step", pallas_correctness)
+stage("pallas_gmres", pallas_gmres)
+emit(stage="done", ok=True)

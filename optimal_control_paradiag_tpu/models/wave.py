@@ -118,7 +118,17 @@ class WaveControlProblem:
             return run
 
         if solver.method == "woodbury":
-            wb = build_woodbury_solver(op, refine=solver.refine)
+            if solver.use_pallas:
+                from optimal_control_paradiag_tpu.paradiag.pallas_woodbury import (
+                    build_pallas_woodbury_solver,
+                )
+
+                # interpret mode on CPU: same numerics, no Mosaic compile
+                wb = build_pallas_woodbury_solver(
+                    op, refine=solver.refine, interpret=jax.default_backend() == "cpu"
+                )
+            else:
+                wb = build_woodbury_solver(op, refine=solver.refine)
 
             @jax.jit
             def run(b, x0=None):
@@ -133,7 +143,9 @@ class WaveControlProblem:
                     build_pallas_spectral_step,
                 )
 
-                step = build_pallas_spectral_step(op)
+                step = build_pallas_spectral_step(
+                    op, interpret=jax.default_backend() == "cpu"
+                )
 
                 @jax.jit
                 def run(b, x0=None):
