@@ -123,6 +123,46 @@ def build_operator(space: P1Space, N_t: int, dt: float, gamma: float, scaled: bo
     return AllAtOnceOperator(space=space, N_t=N_t, dt=dt, gamma=gamma, scaled=scaled)
 
 
+def operator_nnz(op: AllAtOnceOperator) -> int:
+    """Exact nonzero count of the assembled all-at-once matrix (the 'aij'
+    matrix the reference hands to MUMPS, ``Control_Wave_PC.py:186``) --
+    the denominator of the nnz/s throughput metric (BASELINE.md acceptance).
+
+    Row structure (per time level, from :meth:`AllAtOnceOperator.matvec`):
+    the u-row at time i touches u through the M+K pattern at level i, M alone
+    at level i-1 (the -2M second-difference term), M+K at level i-2, and p
+    through M at level i; p-rows mirror it backward. Spatial pattern sizes on
+    the interior grid (m = n1d):
+
+      1D: M, K, and their union are tridiagonal: 3m - 2.
+      2D consistent: M is the 7-point FK stencil (7m^2 - 8m + 2), K the
+        5-point (5m^2 - 4m), union = M's pattern.
+      2D lumped: M diagonal (m^2), union = K's 5-point pattern.
+
+    Verified against the densified operator in tests/test_operator.py.
+    """
+    sp = op.space
+    m = sp.n1d if hasattr(sp, "n1d") else None
+    if m is None:  # unstructured: count from the assembled CSR patterns
+        pM = sp.M_csr.nnz
+        pK = sp.K_csr.nnz
+        Md = sp.mass_dense() != 0
+        Kd = sp.stiffness_dense() != 0
+        pMK = int((Md | Kd).sum())
+    elif sp.dim == 1:
+        tri = 3 * m - 2
+        pM = m if sp.mass == "lumped" else tri
+        pMK = tri
+    else:
+        five = 5 * m * m - 4 * m
+        seven = 7 * m * m - 8 * m + 2
+        pM = m * m if sp.mass == "lumped" else seven
+        pMK = five if sp.mass == "lumped" else seven
+    N_t = op.N_t
+    per_block = N_t * pMK + (N_t - 1) * pM + (N_t - 2) * pMK + N_t * pM
+    return 2 * per_block
+
+
 def build_rhs(
     op: AllAtOnceOperator,
     f: jnp.ndarray,

@@ -75,3 +75,19 @@ def test_scaled_and_unscaled_solutions_agree():
     xu = np.linalg.solve(A_u, b_u).reshape(2, N_t, sp.n)
     np.testing.assert_allclose(xs[0] / scale, xu[0], atol=1e-9)
     np.testing.assert_allclose(xs[1], xu[1], atol=1e-9)
+
+
+def test_operator_nnz_exact():
+    """operator_nnz formulas vs the densified operator's true nonzero count."""
+    from optimal_control_paradiag_tpu import ProblemConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.ops.allatonce import operator_nnz
+
+    for dim, mass, N_x, N_t in (
+        (1, "consistent", 9, 7),
+        (1, "lumped", 8, 6),
+        (2, "consistent", 5, 6),
+        (2, "lumped", 5, 6),
+    ):
+        prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dim=dim, mass=mass))
+        A = np.asarray(prob.operator.dense())
+        assert operator_nnz(prob.operator) == int((A != 0).sum()), (dim, mass)
