@@ -147,11 +147,25 @@ def pallas_gmres():
     return {"iters": int(res.iterations), "rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
 
 
+def woodbury_pallas(refine=1):
+    from optimal_control_paradiag_tpu.paradiag.pallas_woodbury import (
+        build_pallas_woodbury_solver,
+    )
+
+    wb = jax.jit(build_pallas_woodbury_solver(prob.operator, refine=refine))
+    x = wb(b)
+    x.block_until_ready()
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    ms = chain_time(wb, b) * 1e3
+    return {"rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+
+
 stage("tiny_sanity", tiny)
 stage("woodbury_fft_half", lambda: woodbury("fft", True))
 stage("woodbury_dft_half", lambda: woodbury("dft", True))
 stage("woodbury_fft_half_refine2", lambda: woodbury("fft", True, refine=2))
 stage("woodbury_dft_half_refine2", lambda: woodbury("dft", True, refine=2))
+stage("woodbury_pallas_fused", woodbury_pallas)
 stage("spectral_gmres", spectral_gmres)
 stage("lumped_2d_woodbury", lumped_2d)
 stage("batched_woodbury_b8", batched)

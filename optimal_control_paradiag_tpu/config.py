@@ -129,6 +129,10 @@ class SolverConfig:
     pc_variant: str = "fulldiag"
     inner: str = "auto"
     pc_side: str = "left"
+    # use_pallas: method='woodbury' only -- run the fused full-solve Pallas
+    # kernel (paradiag/pallas_woodbury.py; measured faster than the jnp path
+    # on v5e: 2.368 vs 2.414 ms at N_x=2048/N_t=1024 f32). An earlier fused
+    # spectral-STEP kernel was deleted after losing to XLA's own fusion.
     use_pallas: bool = False
     restart: int = 300
     rtol: float = 1e-5

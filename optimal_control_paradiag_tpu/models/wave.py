@@ -118,6 +118,23 @@ class WaveControlProblem:
             return run
 
         if solver.method == "woodbury":
+            if not self.space.diagonalizable:
+                # 2D consistent mass: SMW with blockline P^{-1} and a
+                # tensor-capacity-preconditioned capacity GMRES
+                # (paradiag/woodbury2d.py) -- still a direct-solve API.
+                from optimal_control_paradiag_tpu.paradiag.woodbury2d import (
+                    build_woodbury2d_solver,
+                )
+
+                wb2 = build_woodbury2d_solver(
+                    op, cap_rtol=solver.rtol if solver.rtol < 1e-6 else 1e-10
+                )
+
+                @jax.jit
+                def run(b, x0=None):
+                    return wb2(b), None
+
+                return run
             if solver.use_pallas:
                 from optimal_control_paradiag_tpu.paradiag.pallas_woodbury import (
                     build_pallas_woodbury_solver,
@@ -137,31 +154,16 @@ class WaveControlProblem:
             return run
 
         if solver.method == "spectral":
-            A_hat, D_inv, to_s, from_s = build_spectral_system(op)
             if solver.use_pallas:
-                from optimal_control_paradiag_tpu.paradiag.pallas_spectral import (
-                    build_pallas_spectral_step,
+                raise ValueError(
+                    "the fused spectral-step Pallas kernel was removed after "
+                    "losing to the XLA-fused jnp path on hardware (v5e, "
+                    "N_x=2048/N_t=1024: 0.392 vs 0.357 ms per step, 592 ms "
+                    "either way end-to-end); use_pallas now applies to "
+                    "method='woodbury' (the fused full-solve kernel, which "
+                    "wins)"
                 )
-
-                step = build_pallas_spectral_step(
-                    op, interpret=jax.default_backend() == "cpu"
-                )
-
-                @jax.jit
-                def run(b, x0=None):
-                    # Fused D^{-1}(D+B): solve G xi = D^{-1} b_hat directly.
-                    res = gmres(
-                        step,
-                        D_inv(to_s(b)),
-                        x0=None if x0 is None else to_s(x0),
-                        restart=solver.restart,
-                        rtol=solver.rtol,
-                        atol=solver.atol,
-                        maxiter=solver.maxiter,
-                    )
-                    return from_s(res.x), res
-
-                return run
+            A_hat, D_inv, to_s, from_s = build_spectral_system(op)
 
             @jax.jit
             def run(b, x0=None):

@@ -292,6 +292,17 @@ def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
       injection cols  b (Psi):  0 = u row 0,     1 = u row 1,
                                 2 = p row N-1,   3 = p row N-2.
     """
+    C, W = _capacity_CW(pl)
+    I4 = np.eye(4)[None]
+    return np.linalg.solve(I4 + C @ W, C.astype(np.complex128))
+
+
+def _capacity_CW(pl: _SpectralPlan):
+    """Per-wavenumber capacity ingredients: C_j (the real 4x4 boundary-row
+    coefficients) and W_j = Phi* D_j^{-1} Psi (the slice-of-inverse 4x4) --
+    shared between the exact Woodbury of diagonalizable spaces and the
+    tensor-surrogate capacity preconditioner of the 2D-consistent direct
+    solve (paradiag/woodbury2d.py)."""
     N_t, n = pl.N_t, pl.n
     k = np.arange(N_t)
     phiE = lambda i: np.exp(-2j * np.pi * i * k / N_t)  # extraction
@@ -326,9 +337,7 @@ def _capacity_matrices(pl: _SpectralPlan) -> np.ndarray:
     C[:, 2, 2] = 2.0 * m
     C[:, 2, 3] = -(m + kap)
     C[:, 3, 2] = -(m + kap)
-
-    I4 = np.eye(4)[None]
-    return np.linalg.solve(I4 + C @ W, C.astype(np.complex128))
+    return C, W
 
 
 def _build_woodbury_half(

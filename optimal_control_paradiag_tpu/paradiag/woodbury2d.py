@@ -1,0 +1,133 @@
+"""Woodbury direct solve for the 2D CONSISTENT-mass system.
+
+Extends the rank-4 Sherman-Morrison-Woodbury direct solve
+(paradiag/spectral.py -- exact for sine-diagonalizable spaces) to the 2D
+consistent mass, where no spatial diagonalization exists. The structure is
+space-generic: the all-at-once matrix splits as
+
+    A = P + Psi R Phi*,
+
+where P is the block-circulant part (solved EXACTLY by the blockline
+block-Thomas factorization, paradiag/blockline.py), ``Phi*`` extracts the 4
+time slices (u_{N-1}, u_{N-2}, p_0, p_1), ``R`` maps them to the 4 corrected
+boundary rows through M/K applies
+
+    r_u0   = M (2 u_{N-1} - u_{N-2}) - c K u_{N-2} + (theta/2) M p_0
+    r_u1   = -(M + c K) u_{N-1}
+    r_pN-1 = M (2 p_0 - p_1) - c K p_1 - (theta/2) M u_{N-1}
+    r_pN-2 = -(M + c K) p_0,
+
+and ``Psi`` injects them into time rows (u_0, u_1, p_{N-1}, p_{N-2}) --
+verified against ``op.matvec`` to 1e-13 in tests. SMW then gives the direct
+solve
+
+    A^{-1} b = y - P^{-1} Psi q,   y = P^{-1} b,
+    (I + R Phi* P^{-1} Psi) q = R Phi* y,
+
+with the 4n-dimensional CAPACITY system solved by GMRES whose matvec costs
+one P^{-1} (blockline) apply, preconditioned by the closed-form TENSOR-mass
+capacity inverse ``(I + C_j W_j)^{-1}`` per sine wavenumber (the exact
+capacity of the sine-diagonalizable surrogate; `spectral._capacity_CW` with
+``spectrum_tensor``). Measured capacity iterations at rtol 1e-10:
+17 (N=16), 61 (N=32) -- vs 54 / 85 outer ParaDiag-GMRES iterations at the
+looser rtol 1e-8, with the same per-iteration cost (one blockline apply);
+at N=64 the gap widens (outer GMRES needs ~257).
+
+The reference's only comparable capability is assembling the full 2 N_t n
+matrix and factorizing it with MUMPS (``Control_Wave_PC.py:186``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.krylov.gmres import gmres
+from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
+from optimal_control_paradiag_tpu.paradiag.spectral import _capacity_CW, _spectral_plan
+from optimal_control_paradiag_tpu.utils.constants import host_const
+
+
+def time_corner_maps(op: AllAtOnceOperator):
+    """(phi_star, R, psi): the space-generic rank-4-in-time splitting
+    ``A = P + Psi R Phi*`` (module docstring)."""
+    sp = op.space
+    N_t, n = op.N_t, sp.n
+    c = 0.5 * op.dt * op.dt
+    theta = op.dt * op.dt / np.sqrt(op.gamma)
+
+    def phi_star(x):
+        return jnp.stack([x[0, N_t - 1], x[0, N_t - 2], x[1, 0], x[1, 1]])
+
+    def R(z):
+        zu1, zu2, zp0, zp1 = z[0], z[1], z[2], z[3]
+        M, K = sp.apply_mass, sp.apply_stiffness
+        r0 = M(2.0 * zu1 - zu2) - c * K(zu2) + 0.5 * theta * M(zp0)
+        r1 = -(M(zu1) + c * K(zu1))
+        r2 = M(2.0 * zp0 - zp1) - c * K(zp1) - 0.5 * theta * M(zu1)
+        r3 = -(M(zp0) + c * K(zp0))
+        return jnp.stack([r0, r1, r2, r3])
+
+    def psi(r):
+        x = jnp.zeros((2, N_t, n), r.dtype)
+        x = x.at[0, 0].set(r[0]).at[0, 1].set(r[1])
+        x = x.at[1, N_t - 1].set(r[2]).at[1, N_t - 2].set(r[3])
+        return x
+
+    return phi_star, R, psi
+
+
+def build_woodbury2d_solver(
+    op: AllAtOnceOperator,
+    cap_rtol: float = 1e-10,
+    cap_maxiter: int = 300,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Jittable direct solver ``b -> x`` for the 2D consistent-mass system
+    (structured grid). ``cap_rtol``/``cap_maxiter`` control the inner
+    capacity GMRES; each capacity iteration costs one blockline apply."""
+    from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
+
+    sp = op.space
+    if sp.diagonalizable:
+        raise ValueError(
+            "space is sine-diagonalizable: use the exact rank-4 Woodbury "
+            "(paradiag.spectral.build_woodbury_solver)"
+        )
+    if not hasattr(sp, "n1d"):
+        raise ValueError("woodbury2d needs the structured 2D grid (blockline P^{-1})")
+
+    Pinv = build_preconditioner(op, variant="blockline")
+    phi_star, R, psi = time_corner_maps(op)
+
+    # Tensor-mass surrogate capacity inverse, per sine wavenumber (real to
+    # float precision -- the Hermitian k-pairing cancels imaginary parts).
+    pl = _spectral_plan(op, mass_surrogate=True)
+    C, W = _capacity_CW(pl)
+    Minv = np.linalg.inv(np.eye(4)[None] + C @ W)
+    assert float(np.abs(Minv.imag).max()) < 1e-8 * float(np.abs(Minv.real).max())
+    Minv_r = host_const(Minv.real, sp.dtype)
+
+    def cap_pc(q):
+        qh = sp.dst(q)
+        wh = jnp.einsum("nab,bn->an", Minv_r, qh, precision=jax.lax.Precision.HIGHEST)
+        return sp.idst(wh)
+
+    def cap_matvec(q):
+        return q + R(phi_star(Pinv(psi(q))))
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        y = Pinv(b)
+        res = gmres(
+            cap_matvec,
+            R(phi_star(y)),
+            M=cap_pc,
+            restart=cap_maxiter,
+            rtol=cap_rtol,
+            maxiter=cap_maxiter,
+        )
+        return y - Pinv(psi(res.x))
+
+    return solve

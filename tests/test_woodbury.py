@@ -71,10 +71,14 @@ def test_refinement_reduces_residual():
     assert r1 < 1e-10
 
 
-def test_woodbury_requires_diagonalizable_space():
+def test_woodbury_2d_consistent_routes_to_smw():
+    """2D consistent mass no longer rejects method='woodbury': it routes to
+    the SMW + blockline direct solve (paradiag/woodbury2d.py; the round-1
+    limitation is gone)."""
     prob = WaveControlProblem(ProblemConfig(N_x=6, N_t=8, dim=2, mass="consistent"))
-    with pytest.raises(ValueError, match="sine-diagonalizable"):
-        prob.solve(SolverConfig(method="woodbury"))
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    sol_lu = prob.solve(SolverConfig(method="direct"))
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_lu.u), atol=1e-8)
 
 
 @pytest.mark.parametrize("kw", [dict(N_x=11, N_t=9, gamma=0.5), dict(N_x=6, N_t=8, dim=2, mass="lumped")])
