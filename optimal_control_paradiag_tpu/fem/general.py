@@ -109,6 +109,14 @@ class GeneralP1Space:
     def apply_stiffness(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_csr.spmv(x)
 
+    def apply_mass_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """Float64 numpy twin of :meth:`apply_mass` (residual oracle)."""
+        return self.M_csr.spmv_host_f64(x)
+
+    def apply_stiffness_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """Float64 numpy twin of :meth:`apply_stiffness` (residual oracle)."""
+        return self.K_csr.spmv_host_f64(x)
+
     def mass_dense(self) -> np.ndarray:
         return self.M_csr.todense()
 

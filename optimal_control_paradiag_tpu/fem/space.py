@@ -59,6 +59,27 @@ def _shift2(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     return jnp.pad(y[..., -sy:, :], pad + [(0, -sy), (0, 0)])
 
 
+def _np_shift_last(x: np.ndarray, s: int) -> np.ndarray:
+    """Numpy twin of :func:`_shift_last` (host float64 residual oracle)."""
+    if s == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1)
+    if s > 0:
+        return np.pad(x[..., :-s], pad + [(s, 0)])
+    return np.pad(x[..., -s:], pad + [(0, -s)])
+
+
+def _np_shift2(x: np.ndarray, sy: int, sx: int) -> np.ndarray:
+    """Numpy twin of :func:`_shift2`."""
+    y = _np_shift_last(x, sx)
+    if sy == 0:
+        return y
+    pad = [(0, 0)] * (x.ndim - 2)
+    if sy > 0:
+        return np.pad(y[..., :-sy, :], pad + [(sy, 0), (0, 0)])
+    return np.pad(y[..., -sy:, :], pad + [(0, -sy), (0, 0)])
+
+
 @dataclasses.dataclass(frozen=True)
 class P1Space:
     """Interior-DoF P1 space with stencil operators and sine-transform data.
@@ -139,6 +160,32 @@ class P1Space:
         acc = 4.0 * g
         for sy, sx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
             acc = acc - _shift2(g, sy, sx)
+        return acc.reshape(x.shape)
+
+    def apply_mass_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """Float64 numpy twin of :meth:`apply_mass` (residual oracle)."""
+        x = np.asarray(x, np.float64)
+        h = self.h
+        if self.mass == "lumped":
+            return (h**self.dim) * x
+        if self.dim == 1:
+            return (h / 6.0) * (4.0 * x + _np_shift_last(x, 1) + _np_shift_last(x, -1))
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        acc = 6.0 * g
+        for sy, sx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (-1, -1)):
+            acc = acc + _np_shift2(g, sy, sx)
+        return ((h * h / 12.0) * acc).reshape(x.shape)
+
+    def apply_stiffness_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """Float64 numpy twin of :meth:`apply_stiffness` (residual oracle)."""
+        x = np.asarray(x, np.float64)
+        h = self.h
+        if self.dim == 1:
+            return (1.0 / h) * (2.0 * x - _np_shift_last(x, 1) - _np_shift_last(x, -1))
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        acc = 4.0 * g
+        for sy, sx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            acc = acc - _np_shift2(g, sy, sx)
         return acc.reshape(x.shape)
 
     # -------------------------------------------------------- sine transform

@@ -345,15 +345,24 @@ class WaveControlProblem:
         return res(sol.u, sol.p, self.rhs)
 
     def relative_residual_f64(self, sol: WaveSolution) -> float:
-        """``||A x - b|| / ||b||`` via the host float64 spectral oracle
-        (:func:`paradiag.spectral.spectral_relative_residual`) -- measures the
+        """``||A x - b|| / ||b||`` via a host float64 oracle -- measures the
         true residual of float32 solutions, below the float32 matvec's
-        cancellation noise floor (~1e-3). Diagonalizable spaces only."""
-        from optimal_control_paradiag_tpu.paradiag.spectral import spectral_relative_residual
-
+        cancellation noise floor (~1e-3). Sine-diagonalizable spaces use the
+        spectral-coordinate oracle
+        (:func:`paradiag.spectral.spectral_relative_residual`); other spaces
+        (2D consistent mass, unstructured meshes) the space-generic numpy
+        matvec twin (:meth:`ops.allatonce.AllAtOnceOperator.matvec_host_f64`)."""
         scale = math.sqrt(self.config.gamma) if self.config.scaled else 1.0
         x = np.stack([np.asarray(sol.u, np.float64) * scale, np.asarray(sol.p, np.float64)])
-        return spectral_relative_residual(self.operator, x, np.asarray(self.rhs, np.float64))
+        b = np.asarray(self.rhs, np.float64)
+        if self.space.diagonalizable:
+            from optimal_control_paradiag_tpu.paradiag.spectral import (
+                spectral_relative_residual,
+            )
+
+            return spectral_relative_residual(self.operator, x, b)
+        r = self.operator.matvec_host_f64(x) - b
+        return float(np.linalg.norm(r.ravel()) / np.linalg.norm(b.ravel()))
 
     # ------------------------------------------------------------ validation
 

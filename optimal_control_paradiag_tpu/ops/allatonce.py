@@ -108,6 +108,40 @@ class AllAtOnceOperator:
         """A @ x for flat x of length ``2 * N_t * n``."""
         return self.matvec(x.reshape(self.shape)).reshape(-1)
 
+    def matvec_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """A @ x in float64 numpy on host -- the space-generic residual
+        oracle twin of :meth:`matvec`. The float32 device matvec cannot
+        measure residuals below ~1e-3 relative (the time stencil's
+        smooth-mode cancellation puts its rounding noise there); this twin
+        sees the true residual of a float32 solution for ANY space --
+        non-sine-diagonalizable ones (2D consistent, unstructured meshes)
+        included, where the faster spectral-coordinate oracle
+        (:func:`paradiag.spectral.spectral_relative_residual`) cannot run."""
+
+        def shift(a, s):
+            if s == 0:
+                return a
+            pad = [(0, 0)] * (a.ndim - 1)
+            if s > 0:
+                return np.pad(a[:-s], [(s, 0)] + pad)
+            return np.pad(a[-s:], [(0, -s)] + pad)
+
+        sp = self.space
+        x = np.asarray(x, np.float64)
+        u, p = x[0], x[1]
+        half_d2 = 0.5 * self.dt * self.dt
+        mu, mp = sp.apply_mass_host_f64(u), sp.apply_mass_host_f64(p)
+        ku, kp = sp.apply_stiffness_host_f64(u), sp.apply_stiffness_host_f64(p)
+        cu = np.ones((self.N_t, 1))
+        cu[0, 0] = 0.5
+        cp = np.ones((self.N_t, 1))
+        cp[-1, 0] = 0.5
+        au = (mu - 2.0 * shift(mu, 1) + shift(mu, 2)) + half_d2 * (ku + shift(ku, 2))
+        au = au - self.c_up * cu * mp
+        ap = (mp - 2.0 * shift(mp, -1) + shift(mp, -2)) + half_d2 * (kp + shift(kp, -2))
+        ap = ap + self.c_pu * cp * mu
+        return np.stack([au, ap])
+
     def dense(self) -> np.ndarray:
         """Materialize A as a dense matrix (small problems: direct baseline,
         the analogue of the reference's assembled-aij MUMPS path

@@ -18,6 +18,7 @@ tiny, and XLA lowers the gather efficiently on TPU. Batched right-hand sides
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -53,6 +54,23 @@ class CSRMatrix:
         gathered = jnp.take(x, self.ell_cols.reshape(-1), axis=-1)
         gathered = gathered.reshape(x.shape[:-1] + self.ell_cols.shape)
         return jnp.sum(gathered * self.ell_vals, axis=-1)
+
+    @functools.cached_property
+    def _ell_vals_f64(self) -> np.ndarray:
+        """ELL values rebuilt from the original float64 CSR data (the stored
+        ``ell_vals`` may already be narrowed to the space dtype)."""
+        widths = np.diff(self.indptr)
+        vals = np.zeros((self.shape[0], self.width), np.float64)
+        mask = np.arange(self.width)[None, :] < widths[:, None]
+        vals[mask] = np.asarray(self.data, np.float64)
+        return vals
+
+    def spmv_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """A @ x in float64 numpy on host -- the residual-oracle twin of
+        :meth:`spmv` (batched over leading axes)."""
+        x = np.asarray(x, np.float64)
+        gathered = np.take(x, self.ell_cols, axis=-1)
+        return np.sum(gathered * self._ell_vals_f64, axis=-1)
 
     def todense(self) -> np.ndarray:
         out = np.zeros(self.shape, self.data.dtype)

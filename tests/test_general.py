@@ -71,6 +71,22 @@ def test_unstructured_end_to_end_matches_direct():
     np.testing.assert_allclose(np.asarray(sol.p), np.asarray(sol_lu.p), atol=1e-7)
 
 
+def test_unstructured_host_f64_oracle():
+    """The space-generic float64 residual oracle (numpy ELL SpMV) matches the
+    device matvec on an unstructured space, and relative_residual_f64 works
+    end-to-end there."""
+    pts, tris = _perturbed_square(5, seed=1)
+    cfg = ProblemConfig(N_x=5, N_t=6, dim=2)
+    prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(prob.operator.shape)
+    got = prob.operator.matvec_host_f64(x)
+    want = np.asarray(prob.operator.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    sol = prob.solve(SolverConfig(method="direct"))
+    assert prob.relative_residual_f64(sol) < 1e-10
+
+
 def test_unstructured_cocg_jacobi_inner_matches_blockdense():
     pts, tris = _perturbed_square(5, seed=3)
     cfg = ProblemConfig(N_x=5, N_t=6, dim=2)

@@ -60,6 +60,49 @@ def test_matvec_matches_dense_oracle(dim, N_x, N_t, gamma, scaled, mass):
     np.testing.assert_allclose(b_got, b, atol=1e-12)
 
 
+@pytest.mark.parametrize(
+    "dim,mass,gamma,scaled",
+    [
+        (1, "consistent", 1.0, True),
+        (1, "lumped", 0.25, False),
+        (2, "consistent", 1.0, True),
+        (2, "lumped", 2.0, True),
+    ],
+)
+def test_host_matvec_matches_device(dim, mass, gamma, scaled):
+    """matvec_host_f64 (the space-generic float64 residual oracle) equals the
+    jnp matvec to rounding."""
+    N_x, N_t = (5, 6) if dim == 2 else (9, 7)
+    sp = make_space(dim, N_x, mass=mass)
+    op = build_operator(sp, N_t, 2.0 / N_t, gamma, scaled=scaled)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, N_t, sp.n))
+    got = op.matvec_host_f64(x)
+    want = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_relative_residual_f64_dispatch_agrees():
+    """The spectral-coordinate oracle and the generic host-matvec oracle
+    measure the same residual on a diagonalizable space; the generic oracle
+    serves the non-diagonalizable (2D consistent) woodbury solve."""
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+
+    prob = WaveControlProblem(ProblemConfig(N_x=9, N_t=8))
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    rel_spec = prob.relative_residual_f64(sol)
+    x = np.stack([np.asarray(sol.u, np.float64), np.asarray(sol.p, np.float64)])
+    b = np.asarray(prob.rhs, np.float64)
+    rel_host = float(
+        np.linalg.norm((prob.operator.matvec_host_f64(x) - b).ravel()) / np.linalg.norm(b)
+    )
+    assert abs(rel_spec - rel_host) < 1e-12 + 0.1 * max(rel_spec, rel_host)
+
+    p2 = WaveControlProblem(ProblemConfig(N_x=8, N_t=8, dim=2, mass="consistent"))
+    s2 = p2.solve(SolverConfig(method="woodbury"))
+    assert p2.relative_residual_f64(s2) < 1e-9
+
+
 def test_scaled_and_unscaled_solutions_agree():
     """Scaled (pc) and unscaled systems describe the same physical problem:
     u_hat = sqrt(gamma) u, p identical (ref :249-250, 281-292)."""
