@@ -119,32 +119,26 @@ def batched():
     return {"batch": B, "ms_per_batch": round(ms, 3), "solves_per_s": round(B / (ms / 1e3), 1)}
 
 
-def pallas_correctness():
-    from optimal_control_paradiag_tpu.paradiag.pallas_spectral import build_pallas_spectral_step
-    from optimal_control_paradiag_tpu.paradiag.spectral import build_spectral_system
+def consistent_2d(N_x=96, N_t=64, cap_rtol=2e-5):
+    """2D CONSISTENT mass at a size far past blockdense's 3e8-entry wall
+    (N_x <= ~40): the SMW + blockline direct solve (paradiag/woodbury2d.py),
+    true residual via the generic host-f64 oracle."""
+    from optimal_control_paradiag_tpu.paradiag.woodbury2d import build_woodbury2d_solver
 
-    A_hat, D_inv, to_s, from_s = build_spectral_system(prob.operator)
-    step_pl = jax.jit(build_pallas_spectral_step(prob.operator))
-    step_jnp = jax.jit(lambda xi: D_inv(A_hat(xi)))
-    xi = to_s(b)
-    y_pl = step_pl(xi)
-    y_jnp = step_jnp(xi)
-    y_pl.block_until_ready()
-    err = float(jnp.max(jnp.abs(y_pl - y_jnp)) / jnp.max(jnp.abs(y_jnp)))
-    ms_pl = chain_time(step_pl, xi, chain=100) * 1e3
-    ms_jnp = chain_time(step_jnp, xi, chain=100) * 1e3
-    return {"rel_err_vs_jnp": err, "ms_pallas": round(ms_pl, 4), "ms_jnp": round(ms_jnp, 4)}
-
-
-def pallas_gmres():
-    run = prob.make_solver_fn(
-        SolverConfig(method="spectral", use_pallas=True, rtol=1e-5, restart=110, maxiter=110)
+    p2 = WaveControlProblem(
+        ProblemConfig(N_x=N_x, N_t=N_t, dim=2, mass="consistent", dtype=jnp.float32)
     )
-    x, res = run(b)
+    wb = jax.jit(build_woodbury2d_solver(p2.operator, cap_rtol=cap_rtol, cap_maxiter=120))
+    b2 = p2.rhs
+    x = wb(b2)
     x.block_until_ready()
-    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
-    ms = chain_time(lambda bb: run(bb)[0], b, chain=10) * 1e3
-    return {"iters": int(res.iterations), "rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
+    rel = p2.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    ms = chain_time(wb, b2, chain=3, reps=3) * 1e3
+    return {
+        "n_dofs": 2 * p2.operator.N_t * p2.space.n,
+        "rel_f64": float(rel),
+        "ms_per_solve": round(ms, 3),
+    }
 
 
 def woodbury_pallas(refine=1):
@@ -168,7 +162,6 @@ stage("woodbury_dft_half_refine2", lambda: woodbury("dft", True, refine=2))
 stage("woodbury_pallas_fused", woodbury_pallas)
 stage("spectral_gmres", spectral_gmres)
 stage("lumped_2d_woodbury", lumped_2d)
+stage("consistent_2d_woodbury", consistent_2d)
 stage("batched_woodbury_b8", batched)
-stage("pallas_step", pallas_correctness)
-stage("pallas_gmres", pallas_gmres)
 emit(stage="done", ok=True)

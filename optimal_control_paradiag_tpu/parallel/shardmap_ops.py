@@ -84,6 +84,13 @@ def build_shardmap_matvec(op: AllAtOnceOperator, layout: ParallelLayout):
     mesh = layout.mesh
     nt_shards = mesh.shape["time"]
     ns_shards = mesh.shape["space"]
+    if op.N_t % nt_shards or sp.n % ns_shards:
+        raise ValueError(
+            "shard_map ops need evenly dividing shards (fixed per-device "
+            f"blocks): need nt | N_t and ns | n; got N_t={op.N_t}, "
+            f"nt={nt_shards}, n={sp.n}, ns={ns_shards} -- the pjit path "
+            "(parallel.solve.make_sharded_solver) handles uneven shapes"
+        )
     h = sp.h
     half_d2 = 0.5 * op.dt * op.dt
     N_t = op.N_t

@@ -23,19 +23,32 @@ from optimal_control_paradiag_tpu.parallel.sharding import ParallelLayout
 def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: ParallelLayout):
     """Build a jitted ``solve(b) -> (x, GmresResult)`` sharded over
     ``layout.mesh``; ``b`` and ``x`` use the canonical (time+space sharded)
-    layout."""
+    layout.
+
+    When the state shape divides the mesh evenly, the returned ``sharding``
+    is the canonical NamedSharding -- ``device_put`` the RHS with it to skip
+    the initial reshard. For UNEVEN shapes (``N_t % n_time != 0`` or
+    ``n % n_space != 0``) ``device_put``/``in_shardings`` would reject the
+    array, but GSPMD handles uneven partitions inside a compiled program by
+    padding -- so the solver constrains layouts internally instead and the
+    returned ``sharding`` is None (pass ``b`` with any placement)."""
     solver = solver or SolverConfig()
     op = problem.operator
-    state_sharding_wb = layout.sharding(layout.canonical_spec)
+    N_t, n = op.N_t, op.space.n
+    n_time, n_space = layout.mesh.devices.shape
+    even = (N_t % n_time == 0) and (n % n_space == 0)
+    state_sharding = layout.sharding(layout.canonical_spec) if even else None
+    in_shardings = (state_sharding,) if even else None
+
     if solver.method == "woodbury":
         from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
 
         wb = build_woodbury_solver(op, refine=solver.refine, layout=layout)
 
         def run_wb(b):
-            return layout.canonical(wb(b)), None
+            return layout.canonical(wb(layout.canonical(b))), None
 
-        return jax.jit(run_wb, in_shardings=(state_sharding_wb,)), state_sharding_wb
+        return jax.jit(run_wb, in_shardings=in_shardings), state_sharding
 
     pc_apply = None
     if solver.pc == "paradiag":
@@ -44,12 +57,10 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
     def matvec(x):
         return layout.canonical(op.matvec(layout.canonical(x)))
 
-    state_sharding = layout.sharding(layout.canonical_spec)
-
     def run(b):
         res = gmres(
             matvec,
-            b,
+            layout.canonical(b),
             M=pc_apply,
             restart=solver.restart,
             rtol=solver.rtol,
@@ -58,4 +69,4 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
         )
         return res.x, res
 
-    return jax.jit(run, in_shardings=(state_sharding,)), state_sharding
+    return jax.jit(run, in_shardings=in_shardings), state_sharding

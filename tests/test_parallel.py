@@ -56,6 +56,54 @@ def test_sharded_woodbury_matches_single_device(n_time, n_space):
     np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-11)
 
 
+@pytest.mark.parametrize("n_time,n_space", [(8, 1), (4, 2)])
+def test_sharded_solve_uneven_shards(n_time, n_space):
+    """Each mesh has an uneven axis (N_t=12 % 8 != 0; n=19 % 2 != 0): GSPMD
+    pads uneven partitions inside the compiled program; the solver returns
+    sharding=None and still matches the single-device run exactly."""
+    _require_devices(n_time * n_space)
+    prob = WaveControlProblem(ProblemConfig(N_x=20, N_t=12))
+    solver = SolverConfig(rtol=1e-10)
+    ref = prob.solve(solver)
+
+    run, sharding = make_sharded_solver(prob, solver, make_layout(n_time, n_space))
+    assert sharding is None
+    x, res = run(prob.rhs)
+    assert int(res.iterations) == int(ref.result.iterations)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-8)
+
+
+def test_sharded_solve_float32_iteration_parity():
+    """float32 sharded vs single-device: same iteration count and solutions
+    to float32 rounding -- the dtype where the DFT-matmul-vs-fft layout swap
+    actually matters (SURVEY.md section 5.7)."""
+    _require_devices(8)
+    prob = WaveControlProblem(ProblemConfig(N_x=17, N_t=16, dtype=jnp.float32))
+    solver = SolverConfig(rtol=1e-4)
+    ref = prob.solve(solver)
+    assert bool(ref.result.converged)
+
+    layout = make_layout(4, 2)
+    run, sharding = make_sharded_solver(prob, solver, layout)
+    b = jax.device_put(prob.rhs, sharding)
+    x, res = run(b)
+    assert int(res.iterations) == int(ref.result.iterations)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=5e-5)
+
+
+def test_shardmap_rejects_uneven_shards():
+    """The explicit-collective shard_map path (fixed per-device blocks) rejects
+    non-dividing shapes with a clear error instead of wrong halos."""
+    _require_devices(8)
+    from optimal_control_paradiag_tpu.parallel.shardmap_ops import build_shardmap_matvec
+
+    prob = WaveControlProblem(ProblemConfig(N_x=21, N_t=12))
+    with pytest.raises(ValueError, match="need nt"):
+        build_shardmap_matvec(prob.operator, make_layout(8, 1))
+
+
 def test_mesh_construction():
     _require_devices(8)
     mesh = make_mesh(4, 2)
