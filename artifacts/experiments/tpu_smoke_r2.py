@@ -154,6 +154,15 @@ def woodbury_pallas(refine=1):
     return {"rel_f64": float(rel), "ms_per_solve": round(ms, 3)}
 
 
+def warmup():
+    """Absorb the relay's one-time first-fetch toll (measured 8-400 s,
+    variable) so per-stage timings are clean."""
+    t0 = time.time()
+    v = float(jnp.sum(jnp.ones((8, 8))))
+    return {"first_fetch_s": round(time.time() - t0, 1), "v": v}
+
+
+stage("warmup_first_fetch", warmup)
 stage("tiny_sanity", tiny)
 stage("woodbury_fft_half", lambda: woodbury("fft", True))
 stage("woodbury_dft_half", lambda: woodbury("dft", True))
