@@ -20,6 +20,11 @@ Suite stages (each guarded; failures recorded, not fatal):
     float32 rounding floor at this size is 4.1e-4; merely rounding the exact
     solution leaves that much).
   woodbury_pallas              -- the fused-kernel variant of the same solve.
+  woodbury_polished            -- + physical-space defect correction
+    (cancellation-aware stencil matvec, paradiag/spectral.py
+    build_polished_solver): float32 true residual on the representation
+    floor (gate: <= 5e-4 at the headline size; the floor is 4.1e-4), and
+    the two-float (dword) pair's residual orders below it.
   spectral_gmres               -- the reference's ALGORITHM (iterative
     ParaDiag, float32-stable spectral form, rtol 1e-5) on this chip, at the
     CURRENT build.
@@ -192,6 +197,34 @@ def stage_woodbury_pallas(prob, reps=REPS, chain=CHAIN, refine=REFINE):
     return {"rel_f64": rel, "ms_per_solve": round(ms, 3)}
 
 
+def stage_woodbury_polished(prob, reps=REPS, chain=CHAIN):
+    """Accuracy stage (VERDICT round-1 item 7): polish=1 must land the true
+    float32 residual on the representation floor (<= 5e-4 at headline size,
+    where the floor itself is 4.1e-4); the dword pair goes far below it."""
+    import jax
+    import numpy as np
+
+    from optimal_control_paradiag_tpu.paradiag.spectral import (
+        build_polished_solver,
+        spectral_relative_residual,
+    )
+
+    op = prob.operator
+    wbp = jax.jit(build_polished_solver(op, refine=1, polish=1))
+    b = prob.rhs
+    x = wbp(b)
+    x.block_until_ready()
+    rel = _rel_residual(prob, x)
+    ms = _chain_time(wbp, b, chain, reps) * 1e3
+    xe = jax.jit(build_polished_solver(op, refine=1, polish=2, dword=True))(b)
+    xs = np.asarray(xe[0], np.float64) + np.asarray(xe[1], np.float64)
+    rel_dword = spectral_relative_residual(op, xs, b)
+    out = {"rel_f64": rel, "rel_f64_dword": rel_dword, "ms_per_solve": round(ms, 3)}
+    if rel > 5e-4:
+        out["gate_failed"] = f"polished rel {rel:.3e} > 5e-4"
+    return out
+
+
 def stage_spectral_gmres(prob):
     from optimal_control_paradiag_tpu import SolverConfig
 
@@ -261,6 +294,7 @@ def run_suite():
     r_dft = guard("woodbury_dft", stage_woodbury, prob, "dft")
     r_pl = guard("woodbury_pallas", stage_woodbury_pallas, prob)
     if SUITE:
+        guard("woodbury_polished", stage_woodbury_polished, prob)
         guard("spectral_gmres", stage_spectral_gmres, prob)
         guard("lumped_2d_woodbury", stage_lumped_2d)
         guard("batched_woodbury", stage_batched, prob)

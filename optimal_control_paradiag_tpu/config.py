@@ -121,7 +121,18 @@ class SolverConfig:
         consistent-mass path); ignored by direct inner solves.
       refine: iterative-refinement (defect-correction) steps for the
         'woodbury' direct method; each costs one exact operator apply plus
-        one Woodbury apply and polishes float32 rounding.
+        one Woodbury apply and polishes float32 rounding -- in SPECTRAL
+        coordinates, so it cannot see the final inverse-transform rounding
+        (its float32 accuracy ceiling is ~7e-4 at the headline size).
+      polish: PHYSICAL-space defect-correction steps appended to the
+        'woodbury' method (any variant: jnp, Pallas, 2D consistent SMW).
+        Each step measures the defect with the cancellation-aware stencil
+        matvec and re-solves, landing the float32 true residual on the
+        float32 representation floor (~4e-4 at the headline size -- the
+        best any float32 vector can do; measured, tests/test_float32.py).
+        Cost: ~2x a refine step. For accuracy BELOW the floor use
+        ``paradiag.spectral.build_polished_solver(dword=True)`` directly,
+        which returns the solution as a two-float sum (6.6e-8 at polish=2).
     """
 
     method: str = "gmres"
@@ -141,6 +152,7 @@ class SolverConfig:
     inner_tol: float = 1e-10
     inner_maxiter: int = 50
     refine: int = 1
+    polish: int = 0
 
     def __post_init__(self):
         if self.method not in ("gmres", "minres", "direct", "spectral", "woodbury"):

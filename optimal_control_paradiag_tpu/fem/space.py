@@ -162,6 +162,26 @@ class P1Space:
             acc = acc - _shift2(g, sy, sx)
         return acc.reshape(x.shape)
 
+    def apply_stiffness_nested(self, x: jnp.ndarray) -> jnp.ndarray:
+        """K @ x evaluated in cancellation-aware (nested-difference) form.
+
+        Algebraically identical to :meth:`apply_stiffness`; numerically the
+        naive form ``2x_j - x_{j-1} - x_{j+1}`` first builds O(||x||)
+        intermediates whose rounding (~eps*||x||/h after the 1/h scale)
+        dwarfs the O(h*||x''||) result on smooth fields. Summing first
+        differences ``(x_j - x_{j-1}) + (x_j - x_{j+1})`` instead keeps every
+        intermediate at the scale of the answer (adjacent-value subtraction
+        is exact by Sterbenz when the values are within 2x), dropping the
+        float32 rounding noise by ~1/h. Used by the physical-space defect
+        correction (``AllAtOnceOperator.matvec_accurate``)."""
+        h = self.h
+        if self.dim == 1:
+            return (1.0 / h) * ((x - _shift_last(x, 1)) + (x - _shift_last(x, -1)))
+        g = x.reshape(x.shape[:-1] + self.grid_shape)
+        acc = (g - _shift2(g, 0, 1)) + (g - _shift2(g, 0, -1))
+        acc = acc + (g - _shift2(g, 1, 0)) + (g - _shift2(g, -1, 0))
+        return acc.reshape(x.shape)
+
     def apply_mass_host_f64(self, x: np.ndarray) -> np.ndarray:
         """Float64 numpy twin of :meth:`apply_mass` (residual oracle)."""
         x = np.asarray(x, np.float64)

@@ -30,6 +30,7 @@ from optimal_control_paradiag_tpu.paradiag.inner import (
 )
 from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
 from optimal_control_paradiag_tpu.paradiag.spectral import (
+    build_polished_solver,
     build_spectral_system,
     build_woodbury_solver,
 )
@@ -129,6 +130,8 @@ class WaveControlProblem:
                 wb2 = build_woodbury2d_solver(
                     op, cap_rtol=solver.rtol if solver.rtol < 1e-6 else 1e-10
                 )
+                if solver.polish:
+                    wb2 = build_polished_solver(op, polish=solver.polish, base_solver=wb2)
 
                 @jax.jit
                 def run(b, x0=None):
@@ -146,6 +149,10 @@ class WaveControlProblem:
                 )
             else:
                 wb = build_woodbury_solver(op, refine=solver.refine)
+            if solver.polish:
+                # physical-space defect correction on top of any woodbury
+                # variant: float32 true residual -> the representation floor
+                wb = build_polished_solver(op, polish=solver.polish, base_solver=wb)
 
             @jax.jit
             def run(b, x0=None):

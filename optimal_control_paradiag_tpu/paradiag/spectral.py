@@ -64,7 +64,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +92,14 @@ class _SpectralPlan:
     det_h: np.ndarray  # (N_t, n) float64
     muM64: np.ndarray  # (n,)
     muK64: np.ndarray  # (n,)
-    # working-dtype casts (device constants):
-    a11: np.ndarray
-    a22: np.ndarray
-    tm: np.ndarray  # theta * muM, (1, n)
-    inv_det: np.ndarray
+    # working-dtype casts (device constants). The (N_t, n) per-mode fields
+    # a11/a22/det are NOT stored: they are separable outer products of the
+    # 1D factors below, built on device by :meth:`mode_diag` -- XLA fuses
+    # the broadcasts into every consumer, so they cost no HBM reads, and the
+    # compiled program avoids embedding O(N_t*n) constants (at the 2D bench
+    # size those were ~400 MB of program -- over the compile-RPC body cap).
+    L1c: np.ndarray  # Lambda1(k), (N_t,) complex working dtype
+    L2c: np.ndarray  # Lambda2(k), (N_t,) complex
     m1: np.ndarray  # muM, (n,)
     kap1: np.ndarray  # c * muK, (n,)
     tm1: np.ndarray  # theta * muM, (n,)
@@ -111,6 +114,22 @@ class _SpectralPlan:
     psi_u1: np.ndarray
     psi_pNm1: np.ndarray
     psi_pNm2: np.ndarray
+
+    def mode_diag(self, K: Optional[int] = None):
+        """Device-side per-mode diagonal ``(a11, a22, tm, inv_det)`` of the
+        circulant block system, each broadcastable to ``(K or N_t, n)``,
+        computed inside the traced program from the 1D factors:
+
+            a11 = Lambda1 (x) muM + Lambda2 (x) (c muK),   a22 = conj(a11),
+            tm  = theta * muM,   det = |a11|^2 + tm^2.
+        """
+        L1 = jnp.asarray(self.L1c)[:K] if K is not None else jnp.asarray(self.L1c)
+        L2 = jnp.asarray(self.L2c)[:K] if K is not None else jnp.asarray(self.L2c)
+        a11 = L1[:, None] * self.m1[None, :] + L2[:, None] * self.kap1[None, :]
+        a22 = jnp.conj(a11)
+        tm = self.tm1[None, :]
+        inv_det = 1.0 / (jnp.square(a11.real) + jnp.square(a11.imag) + jnp.square(tm))
+        return a11, a22, tm, inv_det
 
 
 def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _SpectralPlan:
@@ -162,10 +181,8 @@ def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _Spec
         det_h=det_h,
         muM64=muM,
         muK64=muK,
-        a11=host_const(a11_h, np_c),
-        a22=host_const(np.conj(a11_h), np_c),
-        tm=host_const(theta * muM[None, :], rdtype),
-        inv_det=host_const(1.0 / det_h, rdtype),
+        L1c=host_const(np.asarray(e.Lambda1), np_c),
+        L2c=host_const(np.asarray(e.Lambda2), np_c),
         m1=host_const(muM, rdtype),
         kap1=host_const(c * muK, rdtype),
         tm1=host_const(theta * muM, rdtype),
@@ -204,11 +221,14 @@ def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan, layout=None, time_transf
         )
 
         C_t, S_t = dft_matrices(pl.N_t, rdtype)
-    a11, a22, tm, inv_det = pl.a11, pl.a22, pl.tm, pl.inv_det
     m1, kap1, tm1, mk1 = pl.m1, pl.kap1, pl.tm1, pl.mk1
 
     def A_hat(xi: jnp.ndarray) -> jnp.ndarray:
         """(D + B_hat) xi on spectral states (2, N_t, n) complex."""
+        # mode_diag is evaluated inside the trace: the (N_t, n) per-mode
+        # diagonals stay fused outer products of 1D constants, never
+        # program-embedded or HBM-materialized.
+        a11, a22, tm, _ = pl.mode_diag()
         xu, xp = xi[0], xi[1]
         du = a11 * xu - tm * xp
         dp = tm * xu + a22 * xp
@@ -230,6 +250,7 @@ def _make_ops(op: AllAtOnceOperator, pl: _SpectralPlan, layout=None, time_transf
         return jnp.stack([du, dp])
 
     def D_inv(r: jnp.ndarray) -> jnp.ndarray:
+        a11, a22, tm, inv_det = pl.mode_diag()
         ru, rp = r[0], r[1]
         yu = (a22 * ru + tm * rp) * inv_det
         yp = (a11 * rp - tm * ru) * inv_det
@@ -364,10 +385,6 @@ def _build_woodbury_half(
     K = N_t // 2 + 1
     rdtype, np_c = pl.rdtype, pl.np_c
 
-    a11 = host_const(pl.a11_h[:K], np_c)
-    a22 = host_const(np.conj(pl.a11_h[:K]), np_c)
-    tm = host_const(pl.theta * pl.muM64[None, :], rdtype)
-    inv_det = host_const(1.0 / pl.det_h[:K], rdtype)
     m1 = host_const(pl.muM64, rdtype)
     kap1 = host_const(pl.c * pl.muK64, rdtype)
     tm1 = host_const(pl.theta * pl.muM64, rdtype)
@@ -389,6 +406,7 @@ def _build_woodbury_half(
     G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(4)] for a in range(4)]
 
     def D_inv(r):
+        a11, a22, tm, inv_det = pl.mode_diag(K)  # traced outer products
         ru, rp = r[0], r[1]
         yu = (a22 * ru + tm * rp) * inv_det
         yp = (a11 * rp - tm * ru) * inv_det
@@ -403,6 +421,7 @@ def _build_woodbury_half(
         )
 
     def A_hat(xi):
+        a11, a22, tm, _ = pl.mode_diag(K)
         xu, xp = xi[0], xi[1]
         du = a11 * xu - tm * xp
         dp = tm * xu + a22 * xp
@@ -540,6 +559,79 @@ def build_woodbury_solver(
 def solve_woodbury(op: AllAtOnceOperator, b: jnp.ndarray, *, refine: int = 1) -> jnp.ndarray:
     """One-shot direct solve (see :func:`build_woodbury_solver`)."""
     return build_woodbury_solver(op, refine=refine)(b)
+
+
+def _two_sum(a: jnp.ndarray, b: jnp.ndarray):
+    """Knuth two-sum: s + e == a + b exactly, s = fl(a + b), any magnitudes.
+    Optimization barriers stop XLA's algebraic simplifier from cancelling the
+    error-extraction terms (which is exactly their purpose)."""
+    s = jax.lax.optimization_barrier(a + b)
+    v = jax.lax.optimization_barrier(s - a)
+    e = (a - jax.lax.optimization_barrier(s - v)) + (b - v)
+    return s, e
+
+
+def build_polished_solver(
+    op: AllAtOnceOperator,
+    *,
+    refine: int = 1,
+    polish: int = 1,
+    dword: bool = False,
+    time_transform: Optional[str] = None,
+    half_spectrum: Optional[bool] = None,
+    base_solver: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> Callable[[jnp.ndarray], Any]:
+    """Woodbury direct solve + PHYSICAL-space defect correction: the float32
+    accuracy path past the spectral ``refine`` ladder's ceiling.
+
+    ``refine`` corrects defects measured in spectral coordinates, so it is
+    blind to the rounding of the final inverse transforms and of the float32
+    solution representation itself -- measured on TPU at the headline size,
+    refine=2 leaves the float64-oracle residual at 7.2e-4, identical to
+    refine=1 (artifacts/experiments/tpu_smoke_r2.out). Each ``polish`` step
+    instead measures the defect in physical coordinates with the
+    cancellation-aware stencil matvec (``AllAtOnceOperator.matvec_accurate``,
+    noise well below the float32 representation floor) and accumulates the
+    correction with an exact two-sum, maintaining the solution as an
+    unevaluated two-float pair ``(x, e)``:
+
+        r = (b - A_acc x) - A e        # Sterbenz: near-equal subtraction exact
+        d = W r + e                    # W = the Woodbury solve
+        x, e = two_sum(x, d)
+
+    Returned solutions: ``dword=False`` (default) gives the float32 vector
+    ``x``, whose true residual sits ON the float32 representation floor
+    (~4e-4 at the headline size -- the best any single float32 vector can do);
+    ``dword=True`` returns the pair ``(x, e)`` whose float64 sum ``x + e``
+    carries the residual BELOW that floor (the two-float significand is
+    effectively 48-bit). Cost per polish step: one accurate matvec + one
+    plain matvec + one Woodbury apply (~2x a refine step).
+
+    In float64 both paths are already exact to rounding; polish is a no-op
+    there (kept valid for uniform call sites).
+
+    Measured (CPU float32, N_x=2048, N_t=1024, float64 oracle): refine=1
+    6.4e-4 -> polish=1 4.123e-4 (the floor: 4.1227e-4) -> polish=1 dword
+    4.4e-7 -> polish=2 dword 6.6e-8. The accurate matvec's own noise: 5.1e-8
+    vs the plain matvec's 5.8e-5.
+
+    ``base_solver`` substitutes a prebuilt direct solve ``b -> x`` for the
+    inner ``W`` (e.g. the fused Pallas kernel or the 2D consistent-mass SMW
+    solver); it must act on the same physical (2, N_t, n) coordinates."""
+    W = base_solver or build_woodbury_solver(
+        op, refine=refine, time_transform=time_transform, half_spectrum=half_spectrum
+    )
+
+    def solve(b: jnp.ndarray):
+        x = W(b)
+        e = jnp.zeros_like(x)
+        for _ in range(polish):
+            r = (b - op.matvec_accurate(x)) - op.matvec(e)
+            d = W(r) + e
+            x, e = _two_sum(x, d)
+        return (x, e) if dword else x
+
+    return solve
 
 
 # --------------------------------------------------------------------------

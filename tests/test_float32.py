@@ -117,3 +117,73 @@ def test_pc_sides_agree_in_float64():
         assert bool(sol_l.result.converged) and bool(sol_r.result.converged)
         np.testing.assert_allclose(np.asarray(sol_l.u), np.asarray(sol_r.u), atol=1e-8)
         assert abs(int(sol_l.result.iterations) - int(sol_r.result.iterations)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Physical-space defect correction ("polish"): float32 accuracy past the
+# spectral refine ladder's ceiling (VERDICT round-1 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _floor_and_rhs(N_x, N_t):
+    """The float32 representation floor: the float64 solution rounded to
+    float32 -- the best true residual ANY single float32 vector can carry."""
+    from optimal_control_paradiag_tpu.paradiag.spectral import (
+        build_woodbury_solver,
+        spectral_relative_residual,
+    )
+
+    with jax.enable_x64(True):
+        prob64 = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dtype=jnp.float64))
+        x64 = jax.jit(build_woodbury_solver(prob64.operator, refine=1))(prob64.rhs)
+        xf = np.asarray(x64, np.float32).astype(np.float64)
+        floor = spectral_relative_residual(prob64.operator, xf, np.asarray(prob64.rhs))
+    return floor
+
+
+def test_polish_lands_on_the_representation_floor():
+    N_x = N_t = 512
+    floor = _floor_and_rhs(N_x, N_t)
+    prob = _problem(N_x, N_t)
+    sol_refine = prob.solve(SolverConfig(method="woodbury", refine=1))
+    sol_polish = prob.solve(SolverConfig(method="woodbury", refine=1, polish=1))
+    rel_refine = prob.relative_residual_f64(sol_refine)
+    rel_polish = prob.relative_residual_f64(sol_polish)
+    # refine alone is blind to the inverse-transform rounding and sits above
+    # the floor; one physical polish step lands on it (measured at the
+    # headline size 2048x1024: 6.4e-4 -> 4.123e-4 vs floor 4.1227e-4).
+    assert rel_refine > 1.2 * floor
+    assert rel_polish < 1.05 * floor
+
+
+def test_polish_dword_pair_goes_below_the_floor():
+    from optimal_control_paradiag_tpu.paradiag.spectral import (
+        build_polished_solver,
+        spectral_relative_residual,
+    )
+
+    N_x = N_t = 512
+    floor = _floor_and_rhs(N_x, N_t)
+    prob = _problem(N_x, N_t)
+    op, b = prob.operator, prob.rhs
+    x, e = jax.jit(build_polished_solver(op, polish=2, dword=True))(b)
+    xs = np.asarray(x, np.float64) + np.asarray(e, np.float64)
+    rel = spectral_relative_residual(op, xs, b)
+    # the two-float significand is ~48-bit: orders below the float32 floor
+    # (measured at 2048x1024: 6.6e-8 vs floor 4.1e-4)
+    assert rel < 0.02 * floor
+
+
+def test_matvec_accurate_noise_is_far_below_plain():
+    from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
+
+    prob = _problem(512, 512)
+    op, b = prob.operator, prob.rhs
+    x = jax.jit(build_woodbury_solver(op, refine=1))(b)
+    ax = op.matvec_host_f64(np.asarray(x, np.float64))
+    nb = np.linalg.norm(np.asarray(b, np.float64))
+    noise_plain = np.linalg.norm(np.asarray(op.matvec(x), np.float64) - ax) / nb
+    noise_acc = np.linalg.norm(np.asarray(op.matvec_accurate(x), np.float64) - ax) / nb
+    # measured at 2048x1024: 5.8e-5 plain vs 5.1e-8 accurate (1000x); require
+    # a conservative 20x so smaller sizes stay robust
+    assert noise_acc < 0.05 * noise_plain

@@ -134,3 +134,27 @@ def test_operator_nnz_exact():
         prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dim=dim, mass=mass))
         A = np.asarray(prob.operator.dense())
         assert operator_nnz(prob.operator) == int((A != 0).sum()), (dim, mass)
+
+
+@pytest.mark.parametrize(
+    "dim,N_x,N_t,gamma,scaled,mass",
+    [
+        (1, 6, 7, 1.0, True, "consistent"),
+        (1, 5, 8, 0.25, False, "consistent"),
+        (1, 6, 7, 1.0, True, "lumped"),
+        (2, 4, 5, 1.0, True, "consistent"),
+        (2, 4, 5, 2.0, True, "lumped"),
+    ],
+)
+def test_matvec_accurate_is_the_same_operator(dim, N_x, N_t, gamma, scaled, mass):
+    """matvec_accurate is an algebraic rewrite of matvec (nested differences,
+    reordered stiffness) -- in float64 they agree to rounding on arbitrary
+    (non-smooth) states, boundary rows included."""
+    sp = make_space(dim, N_x, mass=mass)
+    op = build_operator(sp, N_t, 2.0 / N_t, gamma, scaled=scaled)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal((2, N_t, sp.n)))
+        np.testing.assert_allclose(
+            np.asarray(op.matvec_accurate(x)), np.asarray(op.matvec(x)), atol=1e-13
+        )
