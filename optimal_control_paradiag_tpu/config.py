@@ -165,6 +165,14 @@ class SolverConfig:
             raise ValueError(f"unknown inner solver {self.inner!r}")
         if self.pc_side not in ("left", "right"):
             raise ValueError(f"unknown pc_side {self.pc_side!r}")
+        if not isinstance(self.refine, int) or self.refine < 0:
+            raise ValueError(f"refine must be a non-negative int, got {self.refine!r}")
+        if not isinstance(self.polish, int) or self.polish < 0:
+            raise ValueError(f"polish must be a non-negative int, got {self.polish!r}")
+        if self.polish and self.method != "woodbury":
+            raise ValueError(
+                f"polish is a 'woodbury'-method option; method={self.method!r} ignores it"
+            )
 
 
 def reference_1d_default() -> ProblemConfig:

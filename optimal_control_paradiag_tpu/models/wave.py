@@ -120,16 +120,24 @@ class WaveControlProblem:
 
         if solver.method == "woodbury":
             if not self.space.diagonalizable:
-                # 2D consistent mass: SMW with blockline P^{-1} and a
-                # tensor-capacity-preconditioned capacity GMRES
-                # (paradiag/woodbury2d.py) -- still a direct-solve API.
+                # 2D consistent mass, direct-solve API. Default: GMRES
+                # preconditioned by the EXACT tensor-mass Woodbury direct
+                # solve -- mesh-independent (7-10 iterations at rtol 1e-10
+                # across N; paradiag/woodbury2d.py:build_tensor_gmres_solver)
+                # and free of the blockline memory wall. pc_variant=
+                # 'blockline' explicitly selects the SMW-over-block-Thomas
+                # alternative (kept as the factorization-based cross-check).
                 from optimal_control_paradiag_tpu.paradiag.woodbury2d import (
+                    build_tensor_gmres_solver,
                     build_woodbury2d_solver,
                 )
 
-                wb2 = build_woodbury2d_solver(
-                    op, cap_rtol=solver.rtol if solver.rtol < 1e-6 else 1e-10
-                )
+                f64 = jnp.dtype(self.config.dtype).itemsize == 8
+                tight = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
+                if solver.pc_variant == "blockline" and hasattr(self.space, "n1d"):
+                    wb2 = build_woodbury2d_solver(op, cap_rtol=tight)
+                else:
+                    wb2 = build_tensor_gmres_solver(op, rtol=tight)
                 if solver.polish:
                     wb2 = build_polished_solver(op, polish=solver.polish, base_solver=wb2)
 

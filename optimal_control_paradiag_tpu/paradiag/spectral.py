@@ -122,7 +122,13 @@ class _SpectralPlan:
 
             a11 = Lambda1 (x) muM + Lambda2 (x) (c muK),   a22 = conj(a11),
             tm  = theta * muM,   det = |a11|^2 + tm^2.
-        """
+
+        Precision note: a11/inv_det are formed in WORKING precision from the
+        already-rounded 1D factors, so they differ from the float64-computed
+        -then-cast constants (``a11_h``/``det_h``, still used by the host-side
+        Woodbury capacity math) by a few extra working-dtype ulps; the
+        refine/polish defect-correction ladder absorbs the difference
+        (tests pass at the same gates)."""
         L1 = jnp.asarray(self.L1c)[:K] if K is not None else jnp.asarray(self.L1c)
         L2 = jnp.asarray(self.L2c)[:K] if K is not None else jnp.asarray(self.L2c)
         a11 = L1[:, None] * self.m1[None, :] + L2[:, None] * self.kap1[None, :]
@@ -617,7 +623,17 @@ def build_polished_solver(
 
     ``base_solver`` substitutes a prebuilt direct solve ``b -> x`` for the
     inner ``W`` (e.g. the fused Pallas kernel or the 2D consistent-mass SMW
-    solver); it must act on the same physical (2, N_t, n) coordinates."""
+    solver); it must act on the same physical (2, N_t, n) coordinates. The
+    inner-solver knobs ``refine``/``time_transform``/``half_spectrum``
+    configure the default-built ``W`` only, so combining them with
+    ``base_solver`` is an error (the prebuilt solver carries its own)."""
+    if base_solver is not None and (
+        refine != 1 or time_transform is not None or half_spectrum is not None
+    ):
+        raise ValueError(
+            "base_solver carries its own refine/time_transform/half_spectrum; "
+            "do not combine it with those arguments"
+        )
     W = base_solver or build_woodbury_solver(
         op, refine=refine, time_transform=time_transform, half_spectrum=half_spectrum
     )

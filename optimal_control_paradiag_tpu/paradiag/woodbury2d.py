@@ -47,7 +47,11 @@ import numpy as np
 
 from optimal_control_paradiag_tpu.krylov.gmres import gmres
 from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
-from optimal_control_paradiag_tpu.paradiag.spectral import _capacity_CW, _spectral_plan
+from optimal_control_paradiag_tpu.paradiag.spectral import (
+    _build_woodbury_half,
+    _capacity_CW,
+    _spectral_plan,
+)
 from optimal_control_paradiag_tpu.utils.constants import host_const
 
 
@@ -129,5 +133,62 @@ def build_woodbury2d_solver(
             maxiter=cap_maxiter,
         )
         return y - Pinv(psi(res.x))
+
+    return solve
+
+
+def build_tensor_gmres_solver(
+    op: AllAtOnceOperator,
+    rtol: float = 1e-10,
+    maxiter: int = 60,
+    restart: int | None = None,
+    with_result: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Mesh-independent solve of the 2D CONSISTENT-mass all-at-once system:
+    GMRES on the physical operator preconditioned by the EXACT direct solve
+    of the TENSOR-mass surrogate operator.
+
+    The Friedrichs-Keller consistent mass splits as ``M = M_t + E`` where
+    ``M_t`` is the sine-diagonal (tensor) part -- spectrum
+    ``(h^2/12)(6 + 2 cos a + 2 cos b)``, ``P1Space.spectrum_tensor`` -- and
+    the remainder ``E = (h^2/24) D_x (x) D_y`` (``D`` the centered-difference
+    matrix) has ZERO sine diagonal. The surrogate operator ``A_t`` (same
+    exact time structure, Taylor/terminal corner rows included, stiffness
+    unchanged, mass ``M_t``) is sine-diagonalizable, so the rank-4 Woodbury
+    identity solves it EXACTLY and fast (one half-spectrum direct apply,
+    ``spectral._build_woodbury_half`` over the ``mass_surrogate`` plan).
+
+    Used as a left preconditioner, the iteration operator is
+    ``I + A_t^{-1} Delta_E`` where ``Delta_E`` applies ``E`` wherever the
+    rows apply ``M``; its symbol ratio ``e_hat / m_hat_t ~
+    (cos a cos b) / (3 + cos a + cos b)`` is bounded well below 1 uniformly
+    in the mesh AND in the Fourier mode (numerator and denominator carry the
+    same ``Lambda``/``theta`` factors), so GMRES converges at an
+    N-INDEPENDENT rate -- measured at rtol 1e-10, float64: 7 / 7 / 8
+    iterations for N_x = N_t = 16 / 32 / 64, 6 at (N_x=96, N_t=64), 10 at
+    (128, 128) (tests/test_woodbury2d.py), vs the SMW capacity path's
+    17 / 61 / ~150 growth. Float32 at rtol 1e-5: 2 iterations to the f32
+    floor. Per iteration: one consistent-mass matvec + one ms-scale Woodbury
+    apply -- no block-Thomas line scans, no blockline memory wall, so this
+    is also the SCALABLE 2D consistent path (any size the spectral Woodbury
+    handles).
+
+    The reference meets this capability only by assembling the full system
+    and factorizing with MUMPS (``Control_Wave_PC.py:186, 480-484``).
+    """
+    sp = op.space
+    if sp.diagonalizable:
+        raise ValueError(
+            "space is sine-diagonalizable: use the exact rank-4 Woodbury "
+            "(paradiag.spectral.build_woodbury_solver)"
+        )
+    pl = _spectral_plan(op, mass_surrogate=True)
+    W_t = _build_woodbury_half(op, pl, refine=0)
+    if restart is None:
+        restart = maxiter
+
+    def solve(b: jnp.ndarray):
+        res = gmres(op.matvec, b, M=W_t, restart=restart, rtol=rtol, maxiter=maxiter)
+        return (res.x, res) if with_result else res.x
 
     return solve
