@@ -13,6 +13,17 @@ transforms around the single Pallas kernel of paradiag/pallas_woodbury.py
 when it wins, the jnp elementwise path otherwise (auto-picked each run,
 recorded in the suite file).
 
+BUDGET PROTOCOL (round-3 fix for the round-2 rc=124 timeout): the whole run
+fits an explicit wall-clock budget, ``BENCH_BUDGET_S`` (default 540 s).
+The three headline candidates run first; the headline JSON line is printed
+and flushed IMMEDIATELY after they finish (~3 min in), so the scoreboard
+records a value even if the driver kills the process later. Every remaining
+stage runs only if its cost estimate fits the remaining budget; skipped
+stages are recorded as ``{"skipped": "budget"}`` in the suite file, never
+silently. The CPU baseline is read from a committed cache
+(``artifacts/cpu_baseline.json``, keyed by size + node); the subprocess that
+regenerates it runs only when the cache misses AND the budget allows.
+
 Suite stages (each guarded; failures recorded, not fatal):
   woodbury_fft / woodbury_dft  -- time-transform accuracy+speed duel; the
     more accurate one becomes the headline config. The float64 host oracle
@@ -27,8 +38,17 @@ Suite stages (each guarded; failures recorded, not fatal):
     the two-float (dword) pair's residual orders below it.
   spectral_gmres               -- the reference's ALGORITHM (iterative
     ParaDiag, float32-stable spectral form, rtol 1e-5) on this chip, at the
-    CURRENT build.
-  lumped_2d_woodbury           -- 2D problem (N_x=512, N_t=128, 33.4M DoFs).
+    CURRENT build; restart 50 (measured 45 iterations at the headline size,
+    artifacts/experiments/tpu_smoke_r2.out) -- a representative tuned
+    iterative config, not a single mis-sized 110-wide Arnoldi cycle.
+  lumped_2d_woodbury           -- 2D problem (N_x=512, N_t=128, 33.4M DoFs),
+    separable ``mode_diag`` constants (spectral.py) so the compiled program
+    stays under the axon compile-RPC body cap.
+  consistent_2d_woodbury       -- 2D CONSISTENT mass (N_x=192, N_t=128,
+    9.3M DoFs -- past the blockline factorization wall): tensor-mass-
+    Woodbury-preconditioned GMRES (paradiag/woodbury2d.py), mesh-independent
+    iteration counts -- the capability the reference only gets from MUMPS
+    (Control_Wave_PC.py:186).
   batched_woodbury             -- multi-RHS throughput (B=8, solves/s).
   roofline                     -- analytic bytes/flops model of the headline
     solve; achieved GB/s and matmul FLOP/s vs chip peaks, plus nnz/s of the
@@ -43,12 +63,13 @@ this axon relay every host round-trip costs ~26 ms and a full array fetch
 dispatch path; amortizing one fence over the chain bounds the artifact at
 well under 1 ms/solve.
 
-``vs_baseline``: the reference publishes no wall-clock numbers (BASELINE.md)
-and its Firedrake/PETSc/MUMPS stack is CPU-only, so the baseline is the
-reference's ALGORITHM (iterative spectral-form ParaDiag GMRES, rtol 1e-5) on
-this host's CPU, measured in a subprocess under the same protocol; the value
-is baseline/headline. The suite file also records the like-for-like
-hardware-only ratio (same Woodbury direct solve on the CPU).
+``vs_baseline``: the LIKE-FOR-LIKE ratio -- the same Woodbury direct solve
+on this host's CPU divided by the headline device time. The cross-algorithm
+ratio vs the reference's ALGORITHM (iterative spectral-form ParaDiag GMRES,
+rtol 1e-5, on CPU -- the reference's own Firedrake/PETSc/MUMPS stack is
+CPU-only and publishes no wall-clock numbers, BASELINE.md) is emitted
+separately as ``vs_reference_algo_cpu``. Both numerators come from the
+cached CPU baseline.
 """
 
 from __future__ import annotations
@@ -56,10 +77,13 @@ from __future__ import annotations
 import json
 import math
 import os
+import platform
 import statistics
 import subprocess
 import sys
 import time
+
+T0 = time.time()
 
 N_X = int(os.environ.get("BENCH_NX", 2048))
 N_T = int(os.environ.get("BENCH_NT", 1024))
@@ -68,7 +92,14 @@ MAX_REL_RESIDUAL = float(os.environ.get("BENCH_MAX_REL", 8e-4))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
 SUITE = os.environ.get("BENCH_SUITE", "1") != "0"
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts", "bench_suite.json")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(_HERE, "artifacts", "bench_suite.json")
+CPU_CACHE = os.path.join(_HERE, "artifacts", "cpu_baseline.json")
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
 def _chain_time(solve_fn, b, chain, reps):
@@ -225,17 +256,20 @@ def stage_woodbury_polished(prob, reps=REPS, chain=CHAIN):
     return out
 
 
-def stage_spectral_gmres(prob):
+def stage_spectral_gmres(prob, chain=10, reps=REPS):
     from optimal_control_paradiag_tpu import SolverConfig
 
+    # restart 50: the headline problem converges in ~45 iterations (measured,
+    # artifacts/experiments/tpu_smoke_r2.out), so one restart cycle holds the
+    # whole Krylov space without the mis-sized (111, 2*K*n) basis buffer.
     run = prob.make_solver_fn(
-        SolverConfig(method="spectral", rtol=1e-5, restart=110, maxiter=110)
+        SolverConfig(method="spectral", rtol=1e-5, restart=50, maxiter=150)
     )
     b = prob.rhs
     x, res = run(b)
     x.block_until_ready()
     rel = _rel_residual(prob, x)
-    ms = _chain_time(lambda bb: run(bb)[0], b, chain=10, reps=REPS) * 1e3
+    ms = _chain_time(lambda bb: run(bb)[0], b, chain=chain, reps=reps) * 1e3
     return {"iters": int(res.iterations), "rel_f64": rel, "ms_per_solve": round(ms, 3)}
 
 
@@ -258,6 +292,38 @@ def stage_lumped_2d():
     }
 
 
+def stage_consistent_2d():
+    """2D CONSISTENT mass, structured grid: GMRES preconditioned by the
+    EXACT tensor-mass Woodbury direct solve
+    (paradiag/woodbury2d.py:build_tensor_gmres_solver) -- mesh-independent
+    iterations (7-10 at rtol 1e-10 in f64; ~2-3 to the f32 floor at rtol
+    1e-5). Size chosen PAST the blockline factorization wall
+    (blockline_entries(128, 191) ~ 1.8e9 > the 4e8 cap): a system the
+    block-Thomas direct path cannot even factor, solved to the float32
+    floor. First hardware timing of the 2D consistent path (VERDICT r2
+    item 2b)."""
+    import jax
+
+    from optimal_control_paradiag_tpu.paradiag.blockline import blockline_entries
+    from optimal_control_paradiag_tpu.paradiag.woodbury2d import build_tensor_gmres_solver
+
+    prob = make_problem(N_x=192, N_t=128, dim=2, mass="consistent")
+    solve = build_tensor_gmres_solver(prob.operator, rtol=1e-5, maxiter=40, with_result=True)
+    wb = jax.jit(lambda bb: solve(bb)[0])
+    b = prob.rhs
+    x, res = jax.jit(solve)(b)
+    x.block_until_ready()
+    rel = _rel_residual(prob, x)
+    ms = _chain_time(wb, b, chain=10, reps=REPS) * 1e3
+    return {
+        "n_dofs": 2 * prob.operator.N_t * prob.space.n,
+        "past_blockline_wall": blockline_entries(prob.operator.N_t, prob.space.n1d) > 4e8,
+        "iters": int(res.iterations),
+        "rel_f64": rel,
+        "ms_per_solve": round(ms, 3),
+    }
+
+
 def stage_batched(prob, B=8):
     import jax
     import jax.numpy as jnp
@@ -273,14 +339,103 @@ def stage_batched(prob, B=8):
     return {"batch": B, "ms_per_batch": round(ms, 3), "solves_per_s": round(B / (ms / 1e3), 1)}
 
 
-def run_suite():
+def _cpu_cache_key():
+    return f"nx{N_X}_nt{N_T}_{platform.node()}"
+
+
+def load_cpu_baseline():
+    """CPU baseline from the committed cache (regenerated by the child run
+    only on cache miss -- the round-2 timeout came from re-measuring a
+    minutes-long CPU GMRES baseline inside every driver run)."""
+    try:
+        with open(CPU_CACHE) as f:
+            cache = json.load(f)
+        return cache.get(_cpu_cache_key())
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def store_cpu_baseline(entry):
+    try:
+        with open(CPU_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        cache = {}
+    cache[_cpu_cache_key()] = entry
+    os.makedirs(os.path.dirname(CPU_CACHE), exist_ok=True)
+    with open(CPU_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+
+
+def run_cpu_child(timeout_s):
+    """Measure the CPU baseline in a subprocess (tiny protocol: chain=3,
+    reps=1 -- the baseline is minutes-per-solve GMRES; we need a scale, not
+    a percentile)."""
+    env = dict(os.environ, BENCH_CPU_CHILD="1")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
+def cpu_child_main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    prob = make_problem(N_x=N_X, N_t=N_T)
+    out = {}
+    try:
+        out["cpu_woodbury_ms"] = stage_woodbury(prob, "fft", reps=1, chain=3)["ms_per_solve"]
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        out["cpu_spectral_ms"] = stage_spectral_gmres(prob, chain=3, reps=1)["ms_per_solve"]
+    except Exception:  # noqa: BLE001
+        pass
+    print(json.dumps(out))
+
+
+def main():
+    if os.environ.get("BENCH_CPU_CHILD"):
+        cpu_child_main()
+        return
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # Logic-testing escape hatch: the axon sitecustomize force-registers
+        # the TPU plugin, so JAX_PLATFORMS env alone cannot keep a process
+        # off the tunnel -- only a post-import config.update can (same
+        # pattern as tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     import jax.numpy as jnp
 
     from optimal_control_paradiag_tpu.ops.allatonce import operator_nnz
 
-    suite = {"config": {"N_x": N_X, "N_t": N_T, "refine": REFINE, "chain": CHAIN}}
+    suite = {
+        "config": {
+            "N_x": N_X,
+            "N_t": N_T,
+            "refine": REFINE,
+            "chain": CHAIN,
+            "budget_s": BUDGET_S,
+        }
+    }
 
-    def guard(name, fn, *a, **kw):
+    def guard(name, fn, *a, est_s=0.0, **kw):
+        """Run a stage if its cost estimate fits the remaining budget."""
+        if est_s and remaining() < est_s:
+            suite[name] = {"skipped": "budget", "est_s": est_s, "remaining_s": round(remaining(), 1)}
+            return suite[name]
         try:
             t0 = time.time()
             suite[name] = fn(*a, **kw)
@@ -289,23 +444,23 @@ def run_suite():
             suite[name] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
         return suite[name]
 
+    def write_suite():
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump(suite, f, indent=1)
+
+    # ---- headline candidates (mandatory; ~3 min on the axon relay) ----
     prob = make_problem(N_x=N_X, N_t=N_T)
     r_fft = guard("woodbury_fft", stage_woodbury, prob, "fft")
     r_dft = guard("woodbury_dft", stage_woodbury, prob, "dft")
     r_pl = guard("woodbury_pallas", stage_woodbury_pallas, prob)
-    if SUITE:
-        guard("woodbury_polished", stage_woodbury_polished, prob)
-        guard("spectral_gmres", stage_spectral_gmres, prob)
-        guard("lumped_2d_woodbury", stage_lumped_2d)
-        guard("batched_woodbury", stage_batched, prob)
 
-    # Headline = the accurate-enough candidate with the best time.
     cands = []
     for name, r, fused in (("fft", r_fft, False), ("dft", r_dft, False), ("pallas", r_pl, True)):
         if "ms_per_solve" in r and r.get("rel_f64", 1.0) <= MAX_REL_RESIDUAL:
             cands.append((r["ms_per_solve"], name, r, fused))
     if not cands:
-        # accuracy gate failed everywhere: report the best-accuracy one but flag it
+        write_suite()
         best = min(
             (r for r in (r_fft, r_dft, r_pl) if "rel_f64" in r),
             key=lambda r: r["rel_f64"],
@@ -320,7 +475,39 @@ def run_suite():
     ms, which, chosen, fused = min(cands)
     suite["headline"] = {"variant": which, **chosen}
 
-    # Roofline accounting for the chosen headline.
+    # ---- CPU baseline: cache first; regenerate only if budget allows ----
+    cpu = load_cpu_baseline()
+    if cpu is None and remaining() > 240:
+        try:
+            cpu = run_cpu_child(timeout_s=max(60, remaining() - 90))
+            if cpu:
+                store_cpu_baseline(cpu)
+        except Exception:  # noqa: BLE001
+            cpu = None
+    vs_same_algo = round(cpu["cpu_woodbury_ms"] / ms, 2) if cpu and "cpu_woodbury_ms" in cpu else 0.0
+    vs_ref_algo = round(cpu["cpu_spectral_ms"] / ms, 2) if cpu and "cpu_spectral_ms" in cpu else 0.0
+    if cpu:
+        suite["cpu_baseline"] = {**cpu, "cached": True}
+
+    # ---- headline JSON: printed NOW, so the scoreboard always has it ----
+    print(
+        json.dumps(
+            {
+                "metric": f"paradiag_direct_solve_1d_nx{N_X}_nt{N_T}_ms",
+                "value": round(ms, 3),
+                "unit": "ms",
+                # like-for-like: same Woodbury direct solve on this host's CPU
+                "vs_baseline": vs_same_algo,
+                # cross-algorithm: reference's iterative ParaDiag GMRES on CPU
+                "vs_reference_algo_cpu": vs_ref_algo,
+                "vs_same_algo_cpu": vs_same_algo,
+            }
+        ),
+        flush=True,
+    )
+    write_suite()
+
+    # ---- roofline for the chosen headline (cheap, analytic) ----
     peaks = _chip_peaks()
     model = roofline_model(N_X, N_T, jnp.dtype(jnp.float32).itemsize, REFINE, fused)
     t = ms / 1e3
@@ -340,68 +527,25 @@ def run_suite():
             roof["achieved_matmul_tflops"] / (peaks["bf16_tflops"] / 6.0), 3
         )
     suite["roofline"] = roof
-    return suite, ms
+    write_suite()
 
-
-def main():
-    if os.environ.get("BENCH_CPU_CHILD"):
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        prob = make_problem(N_x=N_X, N_t=N_T)
-        out = {}
+    # ---- optional stages, budget-gated, priority order ----
+    if SUITE:
         try:
-            out["cpu_spectral_ms"] = stage_spectral_gmres(prob)["ms_per_solve"]
-        except Exception:  # noqa: BLE001
-            pass
-        try:
-            out["cpu_woodbury_ms"] = stage_woodbury(prob, "fft", reps=1, chain=3)["ms_per_solve"]
-        except Exception:  # noqa: BLE001
-            pass
-        print(json.dumps(out))
-        return
+            guard("woodbury_polished", stage_woodbury_polished, prob, est_s=90)
+            write_suite()
+            guard("lumped_2d_woodbury", stage_lumped_2d, est_s=120)
+            write_suite()
+            guard("spectral_gmres", stage_spectral_gmres, prob, est_s=120)
+            write_suite()
+            guard("consistent_2d_woodbury", stage_consistent_2d, est_s=150)
+            write_suite()
+            guard("batched_woodbury", stage_batched, prob, est_s=60)
+        except Exception as exc:  # noqa: BLE001  (headline already printed)
+            suite["suite_error"] = f"{type(exc).__name__}: {exc}"[:400]
 
-    suite, value_ms = run_suite()
-
-    vs_baseline = 0.0
-    try:
-        env = dict(os.environ, BENCH_CPU_CHILD="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                cpu = json.loads(line)
-                if "cpu_spectral_ms" in cpu:
-                    vs_baseline = cpu["cpu_spectral_ms"] / value_ms
-                suite["cpu_baseline"] = cpu
-                if "cpu_woodbury_ms" in cpu:
-                    suite["cpu_baseline"]["like_for_like_hw_ratio"] = round(
-                        cpu["cpu_woodbury_ms"] / value_ms, 2
-                    )
-                break
-    except Exception:  # noqa: BLE001
-        pass
-
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(suite, f, indent=1)
-
-    print(
-        json.dumps(
-            {
-                "metric": f"paradiag_direct_solve_1d_nx{N_X}_nt{N_T}_ms",
-                "value": round(value_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    suite["total_wall_s"] = round(time.time() - T0, 1)
+    write_suite()
 
 
 if __name__ == "__main__":
