@@ -368,7 +368,11 @@ def _capacity_CW(pl: _SpectralPlan):
 
 
 def _build_woodbury_half(
-    op: AllAtOnceOperator, pl: _SpectralPlan, refine: int, time_transform: str = "fft"
+    op: AllAtOnceOperator,
+    pl: _SpectralPlan,
+    refine: int,
+    time_transform: str = "fft",
+    layout=None,
 ):
     """Half-spectrum Woodbury solve: the physical state is real, so its time
     spectrum is Hermitian (``x_hat[N_t-k] = conj(x_hat[k])``) and every
@@ -385,11 +389,32 @@ def _build_woodbury_half(
     - the 4x4 capacity matrices are REAL by the same pairing (asserted at
       setup to 1e-10), so the mixed row values stay real and the injections
       preserve Hermitian symmetry bin-by-bin.
+
+    ``layout`` (a :class:`parallel.sharding.ParallelLayout`): multi-chip
+    sharded HALF-SPECTRUM solve (VERDICT r2 item 9 -- restores the 2x
+    half-spectrum saving the sharded path used to forfeit). Requires the
+    DFT-matmul time transform (XLA's SPMD partitioning of FFTs
+    miscompiles). Stage shardings: the spatial DST runs with the time/bin
+    axis sharded (space contraction local per shard); the time-transform
+    matmuls run time-local (space sharded); the elementwise Woodbury work
+    runs bin-sharded. The rfft pairing weights are per-bin constants that
+    slice cleanly under the bin-sharded layout, and the 4 boundary-slice
+    extractions become cross-shard phase-sum reductions (XLA inserts the
+    psums). ``K = N_t//2 + 1`` bins shard unevenly; GSPMD pads inside the
+    compiled program.
     """
     sp = op.space
     N_t, n = pl.N_t, pl.n
     K = N_t // 2 + 1
     rdtype, np_c = pl.rdtype, pl.np_c
+    if layout is None:
+        from optimal_control_paradiag_tpu.parallel.sharding import IdentityLayout
+
+        layout = IdentityLayout()
+    else:
+        if time_transform != "dft":
+            raise ValueError("sharded half-spectrum Woodbury requires time_transform='dft'")
+    lay = layout
 
     m1 = host_const(pl.muM64, rdtype)
     kap1 = host_const(pl.c * pl.muK64, rdtype)
@@ -463,16 +488,28 @@ def _build_woodbury_half(
         _hi = jax.lax.Precision.HIGHEST
 
         def to_spectral(x):
-            s = sp.dst(x)  # real fast path; commutes with the time transform
+            # DST with the time axis sharded (space contraction is local);
+            # then time-local for the K x N_t transform matmuls; then
+            # bin-sharded for the elementwise solve. Each einsum's OUTPUT is
+            # pinned to the layout its contraction keeps local, so the
+            # stage transitions lower to explicit reshard collectives
+            # (all-to-alls) -- without the output pins GSPMD's propagation
+            # replicates the full state through the dots instead.
+            s = lay.mode_local(sp.dst(lay.mode_local(x)))
+            s = lay.time_local(s)
             re = jnp.einsum("kt,ctn->ckn", Cf, s, precision=_hi)
             im = jnp.einsum("kt,ctn->ckn", Sf, s, precision=_hi)
-            return jax.lax.complex(re, im)
+            xi = lay.time_local(jax.lax.complex(re, im))
+            return lay.mode_local(xi)
 
         def from_spectral(xi):
+            xi = lay.time_local(xi)  # K local per shard for the k-contraction
             t = jnp.einsum("tk,ckn->ctn", Ci, xi.real, precision=_hi) + jnp.einsum(
                 "tk,ckn->ctn", Si, xi.imag, precision=_hi
             )
-            return sp.idst(t).astype(rdtype)
+            t = lay.time_local(t)
+            out = lay.mode_local(sp.idst(lay.mode_local(t)).astype(rdtype))
+            return lay.canonical(out)
 
     else:
 
@@ -514,22 +551,24 @@ def build_woodbury_solver(
     solve mode-local, the 4 slice extractions as cross-shard phase-sum
     reductions. Defaults to the DFT-matmul time transform when sharded.
 
-    ``half_spectrum`` (default: on when single-device): exploit the Hermitian
-    time spectrum of the real state to run transforms and elementwise work on
-    the ``N_t//2 + 1`` rfft bins only -- ~2x less transform/elementwise work,
+    ``half_spectrum`` (default: on): exploit the Hermitian time spectrum of
+    the real state to run transforms and elementwise work on the
+    ``N_t//2 + 1`` rfft bins only -- ~2x less transform/elementwise work,
     machine-precision-equivalent answers (measured: <= 7e-6 relative in
-    float32, tests/test_float32.py; see :func:`_build_woodbury_half`)."""
+    float32, tests/test_float32.py; see :func:`_build_woodbury_half`).
+    Works sharded too (with ``layout``; requires the default DFT-matmul
+    transform there), so the multi-chip direct solve keeps the 2x saving."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
     if time_transform not in ("fft", "dft"):
         raise ValueError(f"unknown time_transform {time_transform!r}")
     if half_spectrum is None:
-        half_spectrum = layout is None
+        half_spectrum = True
     pl = _spectral_plan(op)
     if half_spectrum:
-        if layout is not None:
-            raise ValueError("half_spectrum is a single-device path; pass layout=None")
-        return _build_woodbury_half(op, pl, refine, time_transform=time_transform)
+        return _build_woodbury_half(
+            op, pl, refine, time_transform=time_transform, layout=layout
+        )
     A_hat, D_inv, to_spectral, from_spectral = _make_ops(
         op, pl, layout=layout, time_transform=time_transform
     )

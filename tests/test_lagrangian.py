@@ -33,6 +33,17 @@ def test_kkt_residual_is_gradient_of_quadratic():
     )
 
 
+def test_1d_solve_small():
+    """Fast default-gate coverage of the Lagrangian solve path; the
+    multi-size convergence sweeps live in the slow tier."""
+    prob = LagrangianWaveProblem(ProblemConfig(N_x=12, N_t=12, scaled=False))
+    sol = prob.solve(rtol=1e-10)
+    assert bool(sol.result.converged)
+    # lag-dominated metric (VALIDATION.md): ~5.4 at N=12, shrinking with N
+    assert prob.error_vs_analytic(sol) < 8.0
+
+
+@pytest.mark.slow
 def test_1d_solves_and_converges():
     errs = {}
     for N in (8, 16, 32):
@@ -43,6 +54,7 @@ def test_1d_solves_and_converges():
     assert errs[32] < errs[16] < errs[8]
 
 
+@pytest.mark.slow
 def test_2d_manufactured_runs():
     """Func_Version's 2D manufactured problem (Func_Version.py:33-44)."""
     prob = LagrangianWaveProblem(ProblemConfig(N_x=6, N_t=8, dim=2, gamma=0.5, scaled=False))
