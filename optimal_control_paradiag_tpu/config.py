@@ -94,10 +94,13 @@ class SolverConfig:
         ``Control_Wave_PC.py:414-437``, with closed-form S/Sigma) or
         'blockline' (coupled per-mode block-Thomas structured DIRECT solve
         over grid lines, half-spectrum -- the scalable exact 2D
-        consistent-mass path; auto default there) or 'blockdense' (per-mode
-        dense inverses -- exact but memory-bound; cross-check oracle) or
-        'block' (coupled per-mode 2x2-block COCG with tensor-mass spectral
-        preconditioning -- memory-free best-effort beyond blockline's cap).
+        consistent-mass path; auto default there) or 'blockband' (RCM-banded
+        level-Thomas DIRECT solve for UNSTRUCTURED meshes past blockdense's
+        wall -- the general-mesh MUMPS analogue; auto default there) or
+        'blockdense' (per-mode dense inverses -- exact but memory-bound;
+        cross-check oracle) or 'block' (coupled per-mode 2x2-block COCG with
+        tensor-mass spectral preconditioning -- memory-free best-effort
+        beyond blockline's cap).
       inner: per-mode inner solver for the 'eig' variant: 'auto' (pick the
         right one: spectral when diagonalizable, blockline/blockdense direct
         for non-diagonalizable spaces when their factors fit, COCG
@@ -159,7 +162,14 @@ class SolverConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.pc not in (None, "paradiag"):
             raise ValueError(f"unknown pc {self.pc!r}")
-        if self.pc_variant not in ("fulldiag", "eig", "block", "blockdense", "blockline"):
+        if self.pc_variant not in (
+            "fulldiag",
+            "eig",
+            "block",
+            "blockdense",
+            "blockline",
+            "blockband",
+        ):
             raise ValueError(f"unknown pc_variant {self.pc_variant!r}")
         if self.inner not in ("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg", "cocg_jacobi"):
             raise ValueError(f"unknown inner solver {self.inner!r}")

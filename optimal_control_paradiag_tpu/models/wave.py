@@ -251,14 +251,26 @@ class WaveControlProblem:
                             variant = "block"
                     else:
                         # Unstructured mesh: exact dense per-mode inverses
-                        # when memory allows, else Jacobi-COCG.
+                        # when memory allows; past that wall the RCM-banded
+                        # level-Thomas direct factorization (MUMPS parity,
+                        # paradiag/blockband.py); Jacobi-COCG only beyond
+                        # the banded-factor budget.
                         if cfg.N_t * (2 * self.space.n) ** 2 <= 3e8:
                             variant = "blockdense"
                         else:
-                            variant = "eig"
-                            inner = make_jacobi_cocg_inner_solver(
-                                self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
+                            from optimal_control_paradiag_tpu.paradiag.blockband import (
+                                band_profile,
+                                blockband_entries,
                             )
+
+                            _, m_band = band_profile(self.space)
+                            if blockband_entries(cfg.N_t, self.space.n, m_band) <= 4e8:
+                                variant = "blockband"
+                            else:
+                                variant = "eig"
+                                inner = make_jacobi_cocg_inner_solver(
+                                    self.space, cfg.dt, solver.inner_tol, solver.inner_maxiter
+                                )
             elif solver.inner == "dst":
                 variant = "eig"
                 inner = make_dst_inner_solver(self.space, cfg.dt)

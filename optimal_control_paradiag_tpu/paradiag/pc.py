@@ -291,6 +291,24 @@ def build_preconditioner(
 
         return apply_blockline
 
+    if variant == "blockband":
+        # Unstructured direct (RCM-banded level-Thomas, half-spectrum): the
+        # scalable MUMPS analogue for GENERAL meshes -- exact per-mode solves
+        # at ~(N_t/2) * 4 n m stored entries, m = RCM bandwidth. See
+        # paradiag/blockband.py.
+        from optimal_control_paradiag_tpu.paradiag.blockband import build_blockband_solver
+
+        inner_solve = build_blockband_solver(op)
+
+        def apply_blockband(r: jnp.ndarray) -> jnp.ndarray:
+            rhat = ifft_t(layout.time_local(r))
+            rhat = layout.mode_local(rhat)
+            w = inner_solve(rhat)
+            y = fft_t_real(layout.time_local(w))
+            return layout.canonical(y.astype(rdtype))
+
+        return apply_blockband
+
     if variant != "eig":
         raise ValueError(f"unknown variant {variant!r}")
 

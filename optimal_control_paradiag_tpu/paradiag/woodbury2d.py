@@ -39,7 +39,7 @@ matrix and factorizing it with MUMPS (``Control_Wave_PC.py:186``).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,10 +88,26 @@ def build_woodbury2d_solver(
     op: AllAtOnceOperator,
     cap_rtol: float = 1e-10,
     cap_maxiter: int = 300,
+    pinv_variant: Optional[str] = None,
+    refine: int = 0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Jittable direct solver ``b -> x`` for the 2D consistent-mass system
-    (structured grid). ``cap_rtol``/``cap_maxiter`` control the inner
-    capacity GMRES; each capacity iteration costs one blockline apply."""
+    """Jittable direct solver ``b -> x`` for non-sine-diagonalizable spaces
+    via SMW over an exact circulant factorization.
+
+    - Structured 2D grids (default ``pinv_variant='blockline'``): capacity
+      GMRES preconditioned by the closed-form TENSOR-mass capacity inverse.
+    - UNSTRUCTURED meshes (``pinv_variant='blockband'``, auto-picked when
+      the space has no ``n1d``): the same space-generic SMW splitting with
+      the RCM-banded level-Thomas ``P^{-1}`` (paradiag/blockband.py); no
+      sine basis exists, so the capacity GMRES runs unpreconditioned.
+
+    ``cap_rtol``/``cap_maxiter`` control the capacity GMRES; each capacity
+    iteration costs one ``P^{-1}`` apply. ``refine``: outer defect-correction
+    passes ``x += solve(b - A x)`` -- when the capacity solve stops at
+    relative accuracy eps (iteration-capped), each pass multiplies the true
+    residual by ~eps, so 1-2 passes recover DIRECT accuracy from a
+    partially-converged capacity solve (the unstructured wall-size recipe;
+    measured in tests/test_blockband.py)."""
     from optimal_control_paradiag_tpu.paradiag.pc import build_preconditioner
 
     sp = op.space
@@ -100,29 +116,32 @@ def build_woodbury2d_solver(
             "space is sine-diagonalizable: use the exact rank-4 Woodbury "
             "(paradiag.spectral.build_woodbury_solver)"
         )
-    if not hasattr(sp, "n1d"):
-        raise ValueError("woodbury2d needs the structured 2D grid (blockline P^{-1})")
+    if pinv_variant is None:
+        pinv_variant = "blockline" if hasattr(sp, "n1d") else "blockband"
 
-    Pinv = build_preconditioner(op, variant="blockline")
+    Pinv = build_preconditioner(op, variant=pinv_variant)
     phi_star, R, psi = time_corner_maps(op)
 
-    # Tensor-mass surrogate capacity inverse, per sine wavenumber (real to
-    # float precision -- the Hermitian k-pairing cancels imaginary parts).
-    pl = _spectral_plan(op, mass_surrogate=True)
-    C, W = _capacity_CW(pl)
-    Minv = np.linalg.inv(np.eye(4)[None] + C @ W)
-    assert float(np.abs(Minv.imag).max()) < 1e-8 * float(np.abs(Minv.real).max())
-    Minv_r = host_const(Minv.real, sp.dtype)
+    cap_pc = None
+    if hasattr(sp, "n1d") and hasattr(sp, "spectrum_tensor"):
+        # Tensor-mass surrogate capacity inverse, per sine wavenumber (real
+        # to float precision -- the Hermitian k-pairing cancels imaginary
+        # parts). Structured grids only (needs the sine basis).
+        pl = _spectral_plan(op, mass_surrogate=True)
+        C, W = _capacity_CW(pl)
+        Minv = np.linalg.inv(np.eye(4)[None] + C @ W)
+        assert float(np.abs(Minv.imag).max()) < 1e-8 * float(np.abs(Minv.real).max())
+        Minv_r = host_const(Minv.real, sp.dtype)
 
-    def cap_pc(q):
-        qh = sp.dst(q)
-        wh = jnp.einsum("nab,bn->an", Minv_r, qh, precision=jax.lax.Precision.HIGHEST)
-        return sp.idst(wh)
+        def cap_pc(q):
+            qh = sp.dst(q)
+            wh = jnp.einsum("nab,bn->an", Minv_r, qh, precision=jax.lax.Precision.HIGHEST)
+            return sp.idst(wh)
 
     def cap_matvec(q):
         return q + R(phi_star(Pinv(psi(q))))
 
-    def solve(b: jnp.ndarray) -> jnp.ndarray:
+    def smw(b: jnp.ndarray) -> jnp.ndarray:
         y = Pinv(b)
         res = gmres(
             cap_matvec,
@@ -133,6 +152,12 @@ def build_woodbury2d_solver(
             maxiter=cap_maxiter,
         )
         return y - Pinv(psi(res.x))
+
+    def solve(b: jnp.ndarray) -> jnp.ndarray:
+        x = smw(b)
+        for _ in range(refine):
+            x = x + smw(b - op.matvec(x))
+        return x
 
     return solve
 

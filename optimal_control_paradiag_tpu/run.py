@@ -34,8 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("gmres", "minres", "direct", "spectral", "woodbury"),
     )
     p.add_argument("--pc", default="paradiag", choices=("paradiag", "none"))
-    p.add_argument("--pc-variant", default="fulldiag", choices=("fulldiag", "eig", "block", "blockdense"))
-    p.add_argument("--inner", default="auto", choices=("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg"))
+    p.add_argument(
+        "--pc-variant",
+        default="fulldiag",
+        choices=("fulldiag", "eig", "block", "blockdense", "blockline", "blockband"),
+    )
+    p.add_argument(
+        "--inner",
+        default="auto",
+        choices=("auto", "dst", "tridiag_thomas", "tridiag_pcr", "cocg", "cocg_jacobi"),
+    )
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--restart", type=int, default=300)
     p.add_argument("--maxiter", type=int, default=1000)
