@@ -92,7 +92,11 @@ MAX_REL_RESIDUAL = float(os.environ.get("BENCH_MAX_REL", 8e-4))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 CHAIN = int(os.environ.get("BENCH_CHAIN", 50))
 SUITE = os.environ.get("BENCH_SUITE", "1") != "0"
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 540))
+# Default budget: the full suite measured 1189 s wall on the v5e relay
+# (~600 s of that is the documented first-program cold start); 2400 leaves
+# 2x headroom while staying far under the driver's observed cap (round 1
+# passed at ~45+ min). The headline JSON still prints ~3 stages in.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2400))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(_HERE, "artifacts", "bench_suite.json")
 CPU_CACHE = os.path.join(_HERE, "artifacts", "cpu_baseline.json")
