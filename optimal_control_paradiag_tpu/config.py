@@ -39,6 +39,12 @@ class ProblemConfig:
         diagonalizable either way.
       dtype: real floating dtype for the outer (real-arithmetic) system; the
         preconditioner uses the matching complex dtype internally.
+      dst_precision: MXU precision of the matmul-DST ('highest' default =
+        f32-accurate 6-pass bf16; 'high' = 3-pass bf16x3, ~2x cheaper
+        matmuls). 'high' is only valid combined with polish>=1 -- alone its
+        transform rounding wrecks the direct solve (measured rel 0.129 at
+        the headline size); with one polish pass it is the FASTEST
+        floor-accurate config (4.06 ms vs 4.95, v5e) -- see fem/space.py.
     """
 
     N_x: int
@@ -49,6 +55,7 @@ class ProblemConfig:
     scaled: bool = True
     mass: str = "consistent"
     dtype: Any = jnp.float64
+    dst_precision: str = "highest"
 
     def __post_init__(self):
         if self.dim not in (1, 2):
@@ -57,6 +64,8 @@ class ProblemConfig:
             raise ValueError(f"mass must be 'consistent' or 'lumped', got {self.mass}")
         if self.N_x < 2 or self.N_t < 3:
             raise ValueError("need N_x >= 2 and N_t >= 3")
+        if self.dst_precision not in ("highest", "high"):
+            raise ValueError(f"dst_precision must be 'highest' or 'high', got {self.dst_precision}")
 
     @property
     def dt(self) -> float:

@@ -96,6 +96,18 @@ class P1Space:
     # 'fft' (O(n log n) via the odd-extension identity; wins for large n),
     # 'auto' (size-based choice).
     dst_method: str = "auto"
+    # Matmul-DST MXU precision: 'highest' (f32 = 6 bf16 passes; default) or
+    # 'high' (3-pass bf16x3, ~2x cheaper on the MXU). Measured on v5e at the
+    # headline size (N_x=2048, N_t=1024, f32;
+    # artifacts/experiments/dst_precision_experiment.py): 'high' alone is
+    # UNUSABLE for the direct solve -- true rel residual 0.129 vs 7.2e-4
+    # (the n=2047 transform round-trips amplify bf16x3 rounding) -- but
+    # combined with one physical-space polish pass
+    # (build_polished_solver(polish=1), whose defect is measured by the
+    # cancellation-aware STENCIL matvec, not the DST) it lands exactly on
+    # the f32 representation floor (4.12e-4) at 4.06 ms/solve vs 4.95 ms
+    # for 'highest'+polish: the fastest floor-accurate configuration.
+    dst_precision: str = "highest"
 
     @property
     def h(self) -> float:
@@ -267,7 +279,11 @@ class P1Space:
         if jnp.iscomplexobj(x):
             return jax.lax.complex(self.dst(x.real), self.dst(x.imag))
         V = self.dst_matrix
-        hi = jax.lax.Precision.HIGHEST
+        hi = (
+            jax.lax.Precision.HIGHEST
+            if self.dst_precision == "highest"
+            else jax.lax.Precision.HIGH
+        )
         if self.dim == 1:
             return jnp.matmul(x, V, precision=hi)
         g = x.reshape(x.shape[:-1] + self.grid_shape)
@@ -352,6 +368,18 @@ class P1Space:
 
 
 def make_space(
-    dim: int, N_x: int, mass: str = "consistent", dtype=jnp.float64, dst_method: str = "auto"
+    dim: int,
+    N_x: int,
+    mass: str = "consistent",
+    dtype=jnp.float64,
+    dst_method: str = "auto",
+    dst_precision: str = "highest",
 ) -> P1Space:
-    return P1Space(dim=dim, N_x=N_x, mass=mass, dtype=dtype, dst_method=dst_method)
+    return P1Space(
+        dim=dim,
+        N_x=N_x,
+        mass=mass,
+        dtype=dtype,
+        dst_method=dst_method,
+        dst_precision=dst_precision,
+    )

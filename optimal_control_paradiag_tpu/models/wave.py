@@ -56,7 +56,11 @@ class WaveControlProblem:
     def __init__(self, config: ProblemConfig, space=None):
         self.config = config
         self.space: P1Space = space if space is not None else make_space(
-            config.dim, config.N_x, mass=config.mass, dtype=config.dtype
+            config.dim,
+            config.N_x,
+            mass=config.mass,
+            dtype=config.dtype,
+            dst_precision=config.dst_precision,
         )
         self.operator = build_operator(
             self.space, config.N_t, config.dt, config.gamma, scaled=config.scaled
