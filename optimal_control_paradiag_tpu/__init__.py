@@ -29,6 +29,7 @@ from optimal_control_paradiag_tpu.config import (
     SolverConfig,
     reference_1d_default,
 )
+from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
 from optimal_control_paradiag_tpu.models.wave import WaveControlProblem
 
 __version__ = "0.1.0"
@@ -37,6 +38,7 @@ __all__ = [
     "ProblemConfig",
     "SolverConfig",
     "WaveControlProblem",
+    "HeatControlProblem",
     "reference_1d_default",
     "__version__",
 ]

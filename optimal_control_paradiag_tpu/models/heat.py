@@ -1,0 +1,382 @@
+"""Optimal control of the HEAT equation -- the framework's second model family.
+
+The reference is a single-problem script (wave equation only,
+``Control_Wave_PC.py``); this module demonstrates that the framework's
+layers (P1 spaces, circulant diagonalization, spectral Woodbury, Krylov)
+generalize: the parabolic tracking problem
+
+    min J(u, us) = 1/2 ||u - g||^2 + gamma/2 ||us||^2
+    s.t.  u_t - Lap u = f + us,  u|_bnd = 0,  u(0) = u0,
+
+with the control eliminated through the adjoint (``us = p / gamma``),
+discretized by backward Euler in time (the ParaDiag literature's canonical
+parabolic setup) and P1 elements in space. Unknowns ``u_i ~ u(t_i)``,
+``p_i ~ p(t_i)``, i = 1..N_t, sqrt(gamma)-scaled state (``uh = sqrt(g) u``,
+the wave model's convention, ref ``Control_Wave_PC.py:56-57``):
+
+    u-row i: M(uh_i - uh_{i-1}) + tau K uh_i - (tau/sqrt(g)) M p_i
+               = tau M fh_i  (+ M uh_0 for i = 1)
+    p-row i: M(p_i - p_{i+1}) + tau K p_i + (tau/sqrt(g)) M uh_i
+               = tau M g_i   (p_{N_t+1} = 0 terminal condition)
+
+Structure mirrors the wave model one-for-one, with FIRST-order time stencils:
+
+- circulant symbols ``Lambda1(k) = 1 - omega_k`` (forward difference wrap)
+  for the u-block and ``conj(Lambda1)`` for the reversed adjoint block --
+  the heat analogue of the wave model's ``(1-omega)^2 / 1+omega^2`` pair;
+- per-(mode, wavenumber) 2x2 blocks with the SAME algebraic form as the
+  wave system: ``a11 = Lambda1 muM + tau muK``, ``a22 = conj(a11)``,
+  coupling ``-+ tm = (tau/sqrt(g)) muM``, ``det = |a11|^2 + tm^2 > 0``;
+- the true operator differs from the block circulant by a RANK-2 time
+  correction (vs the wave's rank 4): the u-block's wraparound touches only
+  row 1 (spurious ``-M u_{N}``) and the p-block's only row N_t (spurious
+  ``-M p_1``), so ``A = P + Psi R Phi*`` with ``Phi* x = (u_N, p_1)``,
+  ``R = diag(M, M)`` and injections into (u-row 1, p-row N_t);
+- hence a 2x2-capacity Sherman-Morrison-Woodbury DIRECT solve per sine
+  wavenumber, half-spectrum, exactly parallel to the wave solver
+  (``paradiag/spectral.py:_build_woodbury_half``).
+
+Manufactured 1D solution (for convergence validation): ``u = sin(pi x) e^{-t}``,
+``p = sin(pi x)(e^{t-T} - 1)`` (satisfies ``p(T) = 0``), with
+``f = u_t - Lap u - p/gamma`` and ``g = u - p_t - Lap p`` from the
+continuous optimality system.
+
+Measured (CPU float64, tests/test_heat.py): the SMW direct solve matches
+dense LU to 1e-10 and leaves relative residual ~1e-13; circulant-PC GMRES
+converges in 3 iterations at rtol 1e-10, mesh-independent (N = 16/32/64 --
+the preconditioned operator is identity + rank 2); the manufactured error
+halves per tau-halving (0.0359 / 0.0186 / 0.0094 at N_t = 16/32/64,
+N_x = 128) -- clean backward-Euler O(tau).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.config import ProblemConfig, SolverConfig
+from optimal_control_paradiag_tpu.fem.space import P1Space, make_space
+from optimal_control_paradiag_tpu.krylov.gmres import GmresResult, gmres
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
+
+
+class HeatSolution(NamedTuple):
+    u: jnp.ndarray  # (N_t, n), u_sol[i] ~ u(t_{i+1}), physical (unscaled)
+    p: jnp.ndarray  # (N_t, n), p_sol[i] ~ p(t_{i+1})
+    result: Optional[GmresResult]
+
+
+class HeatControlProblem:
+    """All-at-once heat-equation optimal control on diagonalizable spaces
+    (1D, or 2D with ``mass='lumped'``); reuses :class:`ProblemConfig`."""
+
+    def __init__(self, config: ProblemConfig, space: Optional[P1Space] = None):
+        if not config.scaled:
+            raise ValueError("the heat model is implemented in scaled ('pc') form")
+        self.config = config
+        self.space = space if space is not None else make_space(
+            config.dim,
+            config.N_x,
+            mass=config.mass,
+            dtype=config.dtype,
+            dst_precision=config.dst_precision,
+        )
+        self.tau = config.T / config.N_t
+        self._data = self._build_data()
+        self._cache: Dict = {}
+
+    # ----------------------------------------------------------------- data
+
+    def _analytic(self):
+        T, g = self.config.T, self.config.gamma
+        pi = math.pi
+        u = lambda x, t: np.sin(pi * x) * np.exp(-t)
+        p = lambda x, t: np.sin(pi * x) * (np.exp(t - T) - 1.0)
+        # f = u_t - Lap u - p/gamma ; Lap u = -pi^2 u
+        f = lambda x, t: np.sin(pi * x) * (
+            -np.exp(-t) + pi * pi * np.exp(-t) - (np.exp(t - T) - 1.0) / g
+        )
+        # g = u - p_t - Lap p ; p_t = sin(pi x) e^{t-T}; Lap p = -pi^2 p
+        gt = lambda x, t: np.sin(pi * x) * (
+            np.exp(-t) - np.exp(t - T) + pi * pi * (np.exp(t - T) - 1.0)
+        )
+        return u, p, f, gt
+
+    def _build_data(self):
+        cfg = self.config
+        sp = self.space
+        tau = self.tau
+        if cfg.dim == 1:
+            ua, pa, fa, ga = self._analytic()
+            f = np.stack([np.asarray(sp.interpolate(lambda x: fa(x, (i + 1) * tau))) for i in range(cfg.N_t)])
+            gd = np.stack([np.asarray(sp.interpolate(lambda x: ga(x, (i + 1) * tau))) for i in range(cfg.N_t)])
+            u0 = np.asarray(sp.interpolate(lambda x: ua(x, 0.0)))
+        else:
+            # 2D: separable manufactured source; analytic comparison is 1D-only.
+            f = np.stack(
+                [
+                    np.asarray(
+                        sp.interpolate(
+                            lambda x, y: np.sin(math.pi * x) * np.sin(math.pi * y) * np.exp(-(i + 1) * tau)
+                        )
+                    )
+                    for i in range(cfg.N_t)
+                ]
+            )
+            gd = np.zeros_like(f)
+            u0 = np.asarray(sp.interpolate(lambda x, y: np.sin(math.pi * x) * np.sin(math.pi * y)))
+        s = math.sqrt(cfg.gamma)
+        return {
+            "f": to_device(s * f, cfg.dtype),
+            "g": to_device(gd, cfg.dtype),
+            "u0": to_device(s * u0, cfg.dtype),
+        }
+
+    # ------------------------------------------------------------- operator
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """A @ x on scaled states (2, N_t, n) -- the all-at-once optimality
+        system rows (module docstring)."""
+        sp = self.space
+        tau = self.tau
+        th = tau / math.sqrt(self.config.gamma)
+        u, p = x[0], x[1]
+        um1 = jnp.concatenate([jnp.zeros_like(u[:1]), u[:-1]], axis=0)  # u_{i-1}, u_0 -> rhs
+        pp1 = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)  # p_{i+1}, terminal 0
+        row_u = sp.apply_mass(u - um1) + tau * sp.apply_stiffness(u) - th * sp.apply_mass(p)
+        row_p = sp.apply_mass(p - pp1) + tau * sp.apply_stiffness(p) + th * sp.apply_mass(u)
+        return jnp.stack([row_u, row_p])
+
+    @property
+    def rhs(self) -> jnp.ndarray:
+        if "rhs" not in self._cache:
+            d = self._data
+            sp, tau = self.space, self.tau
+
+            @jax.jit
+            def build(d):
+                bu = tau * jax.vmap(sp.apply_mass)(d["f"])
+                bu = bu.at[0].add(sp.apply_mass(d["u0"]))
+                bp = tau * jax.vmap(sp.apply_mass)(d["g"])
+                return jnp.stack([bu, bp])
+
+            self._cache["rhs"] = build(d)
+        return self._cache["rhs"]
+
+    # ------------------------------------------------------ spectral pieces
+
+    def _plan(self):
+        """Host constants of the diagonalized system (numpy)."""
+        cfg = self.config
+        sp = self.space
+        N_t = cfg.N_t
+        tau = self.tau
+        th = tau / math.sqrt(cfg.gamma)
+        muM, muK = sp.spectrum
+        if muM is None:
+            raise ValueError("heat spectral solves need a sine-diagonalizable space")
+        muM = np.asarray(muM, np.float64)
+        muK = np.asarray(muK, np.float64)
+        k = np.arange(N_t)
+        L1 = 1.0 - np.exp(2j * np.pi * k / N_t)  # circulant symbol of (I - T^-)
+        a11 = L1[:, None] * muM[None, :] + tau * muK[None, :]
+        tm = th * muM[None, :]
+        det = np.abs(a11) ** 2 + tm * tm
+        return L1, muM, muK, a11, tm, det
+
+    def build_woodbury_solver(self, refine: int = 1) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Half-spectrum rank-2 SMW direct solve ``b -> x`` (module docstring);
+        jit-wrap for repeated use. Exact in float64; ``refine`` polishes f32."""
+        cfg = self.config
+        sp = self.space
+        N_t = cfg.N_t
+        K = N_t // 2 + 1
+        rdtype = cfg.dtype
+        np_c = np.dtype(np.complex64) if jnp.dtype(rdtype).itemsize == 4 else np.dtype(np.complex128)
+        L1, muM64, muK64, a11_h, tm_h, det_h = self._plan()
+
+        # Half-spectrum constants (pairing weights on extraction rows).
+        k = np.arange(K)
+        wgt = np.full(K, 2.0)
+        wgt[0] = 1.0
+        if N_t % 2 == 0:
+            wgt[K - 1] = 1.0
+        phiw = lambda i: host_const(wgt * np.exp(-2j * np.pi * i * k / N_t), np_c)
+        psi = lambda i: host_const(np.exp(2j * np.pi * i * k / N_t) / N_t, np_c)
+        phi_uN, phi_p1 = phiw(N_t - 1), phiw(0)
+        psi_u1, psi_pN = psi(0), psi(N_t - 1)
+
+        # 2x2 capacity per wavenumber: W = Phi* D^{-1} Psi, C = diag(muM).
+        kf = np.arange(N_t)
+        phiE = lambda i: np.exp(-2j * np.pi * i * kf / N_t)
+        psiI = lambda i: np.exp(2j * np.pi * i * kf / N_t) / N_t
+        iuu = np.conj(a11_h) / det_h
+        iup = tm_h / det_h + 0j  # D^{-1}[u,p] = +tm/det
+        ipu = -tm_h / det_h + 0j
+        ipp = a11_h / det_h
+        rows = [("u", phiE(N_t - 1)), ("p", phiE(0))]
+        cols = [("u", psiI(0)), ("p", psiI(N_t - 1))]
+        E = {("u", "u"): iuu, ("u", "p"): iup, ("p", "u"): ipu, ("p", "p"): ipp}
+        n = sp.n
+        W = np.zeros((n, 2, 2), np.complex128)
+        for a, (ca, pa) in enumerate(rows):
+            for b, (cb, pb) in enumerate(cols):
+                W[:, a, b] = np.einsum("k,kn,k->n", pa, E[(ca, cb)], pb)
+        C = np.zeros((n, 2, 2), np.float64)
+        C[:, 0, 0] = muM64
+        C[:, 1, 1] = muM64
+        G_h = np.linalg.solve(np.eye(2)[None] + C @ W, C.astype(np.complex128))
+        assert float(np.abs(G_h.imag).max()) < 1e-9 * max(float(np.abs(G_h.real).max()), 1.0)
+        G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(2)] for a in range(2)]
+
+        a11c = host_const(a11_h[:K].astype(np_c), np_c)
+        a22c = host_const(np.conj(a11_h[:K]).astype(np_c), np_c)
+        tmc = host_const(tm_h.astype(np.float64), rdtype)
+        invdet = host_const((1.0 / det_h[:K]), rdtype)
+        m1 = host_const(muM64, rdtype)
+
+        def D_inv(r):
+            ru, rp = r[0], r[1]
+            yu = (a22c * ru + tmc * rp) * invdet
+            yp = (a11c * rp - tmc * ru) * invdet
+            return jnp.stack([yu, yp])
+
+        def extract(y):
+            return (
+                jnp.sum(phi_uN[:, None] * y[0], axis=0).real,
+                jnp.sum(phi_p1[:, None] * y[1], axis=0).real,
+            )
+
+        def A_hat(xi):
+            du = a11c * xi[0] - tmc * xi[1]
+            dp = tmc * xi[0] + a22c * xi[1]
+            uN, p1 = extract(xi)
+            du = du + psi_u1[:, None] * (m1 * uN)[None, :]
+            dp = dp + psi_pN[:, None] * (m1 * p1)[None, :]
+            return jnp.stack([du, dp])
+
+        def wb_apply(r):
+            y = D_inv(r)
+            z = extract(y)
+            w = [sum(G[a][b] * z[b] for b in range(2)) for a in range(2)]
+            corr_u = psi_u1[:, None] * w[0][None, :]
+            corr_p = psi_pN[:, None] * w[1][None, :]
+            return y - D_inv(jnp.stack([corr_u, corr_p]))
+
+        def to_spectral(x):
+            s = sp.dst(x)
+            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+        def from_spectral(xi):
+            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+            return sp.idst(t).astype(rdtype)
+
+        def solve(b):
+            b_hat = to_spectral(b)
+            x = wb_apply(b_hat)
+            for _ in range(refine):
+                x = x + wb_apply(b_hat - A_hat(x))
+            return from_spectral(x)
+
+        return solve
+
+    def build_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Circulant ParaDiag PC (the fulldiag analogue): rfft(time) + DST ->
+        per-(mode, wavenumber) 2x2 Cramer -> back."""
+        sp = self.space
+        N_t = self.config.N_t
+        K = N_t // 2 + 1
+        rdtype = self.config.dtype
+        np_c = np.dtype(np.complex64) if jnp.dtype(rdtype).itemsize == 4 else np.dtype(np.complex128)
+        _, _, _, a11_h, tm_h, det_h = self._plan()
+        a11c = host_const(a11_h[:K].astype(np_c), np_c)
+        a22c = host_const(np.conj(a11_h[:K]).astype(np_c), np_c)
+        tmc = host_const(tm_h, rdtype)
+        invdet = host_const(1.0 / det_h[:K], rdtype)
+
+        def apply_pc(r):
+            rh = jnp.conj(jnp.fft.rfft(sp.dst(r), axis=1)) * (1.0 / N_t)
+            yu = (a22c * rh[0] + tmc * rh[1]) * invdet
+            yp = (a11c * rh[1] - tmc * rh[0]) * invdet
+            y = jnp.fft.irfft(jnp.conj(jnp.stack([yu, yp])), n=N_t, axis=1) * float(N_t)
+            return sp.idst(y).astype(rdtype)
+
+        return apply_pc
+
+    # ----------------------------------------------------------------- solve
+
+    def solve(self, solver: Optional[SolverConfig] = None) -> HeatSolution:
+        solver = solver or SolverConfig(method="woodbury")
+        key = solver
+        if key not in self._cache:
+            if solver.method == "woodbury":
+                wb = jax.jit(self.build_woodbury_solver(refine=solver.refine))
+                self._cache[key] = lambda b: (wb(b), None)
+            elif solver.method == "gmres":
+                pc = self.build_preconditioner() if solver.pc == "paradiag" else None
+
+                @jax.jit
+                def run(b):
+                    res = gmres(
+                        self.matvec,
+                        b,
+                        M=pc,
+                        restart=solver.restart,
+                        rtol=solver.rtol,
+                        atol=solver.atol,
+                        maxiter=solver.maxiter,
+                    )
+                    return res.x, res
+
+                self._cache[key] = run
+            elif solver.method == "direct":
+
+                def run_direct(b):
+                    A = self.dense()
+                    x = jnp.linalg.solve(jnp.asarray(A), b.reshape(-1)).reshape(b.shape)
+                    return x, None
+
+                self._cache[key] = run_direct
+            else:
+                raise NotImplementedError(f"heat model: method {solver.method!r}")
+        x, res = self._cache[key](self.rhs)
+        s = math.sqrt(self.config.gamma)
+        return HeatSolution(u=x[0] / s, p=x[1], result=res)
+
+    def dense(self) -> np.ndarray:
+        """Dense all-at-once matrix by columns (small-size oracle)."""
+        N_t, n = self.config.N_t, self.space.n
+        m = 2 * N_t * n
+        mv = jax.jit(lambda v: self.matvec(v.reshape(2, N_t, n)).reshape(-1))
+        cols = []
+        eye = np.eye(m, dtype=np.float64)
+        for j in range(m):
+            cols.append(np.asarray(mv(jnp.asarray(eye[j], dtype=self.config.dtype))))
+        return np.stack(cols, axis=1)
+
+    # ------------------------------------------------------------ validation
+
+    def relative_residual(self, sol: HeatSolution) -> float:
+        s = math.sqrt(self.config.gamma)
+        x = jnp.stack([sol.u * s, sol.p])
+        r = self.matvec(x) - self.rhs
+        return float(jnp.linalg.norm(r.reshape(-1)) / jnp.linalg.norm(self.rhs.reshape(-1)))
+
+    def error_vs_analytic(self, sol: HeatSolution) -> float:
+        """Max over time of the nodal-l2 u-error vs the 1D manufactured
+        solution (``u_sol[i] ~ u(t_{i+1})``); O(tau + h^2) for backward
+        Euler + P1."""
+        if self.config.dim != 1:
+            raise ValueError("analytic comparison is 1D-only")
+        ua, _, _, _ = self._analytic()
+        tau = self.tau
+        u = np.asarray(sol.u, np.float64)
+        errs = [
+            np.linalg.norm(u[i] - np.asarray(self.space.interpolate(lambda x: ua(x, (i + 1) * tau))))
+            for i in range(self.config.N_t)
+        ]
+        return float(np.max(errs))

@@ -1,0 +1,69 @@
+"""The heat-equation optimal-control model family (models/heat.py):
+rank-2 SMW direct solve vs dense LU, circulant-PC GMRES, backward-Euler
+convergence, 2D lumped path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig
+from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
+
+
+def test_woodbury_matches_dense_direct():
+    prob = HeatControlProblem(ProblemConfig(N_x=9, N_t=8))
+    sol_wb = prob.solve(SolverConfig(method="woodbury"))
+    sol_lu = prob.solve(SolverConfig(method="direct"))
+    np.testing.assert_allclose(np.asarray(sol_wb.u), np.asarray(sol_lu.u), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol_wb.p), np.asarray(sol_lu.p), atol=1e-10)
+    assert prob.relative_residual(sol_wb) < 1e-12
+
+
+def test_gmres_paradiag_pc_converges_fast():
+    """The rank-2 correction means the preconditioned operator is identity +
+    rank-2: GMRES must converge in a handful of iterations, mesh-independent."""
+    iters = {}
+    for N in (16, 32, 64):
+        prob = HeatControlProblem(ProblemConfig(N_x=N, N_t=N))
+        sol = prob.solve(SolverConfig(method="gmres", rtol=1e-10))
+        assert bool(sol.result.converged)
+        assert prob.relative_residual(sol) < 1e-8
+        iters[N] = int(sol.result.iterations)
+    assert max(iters.values()) <= 5, iters
+    assert max(iters.values()) - min(iters.values()) <= 1, iters
+
+
+def test_backward_euler_convergence_order():
+    """Manufactured solution: error is O(tau) (backward Euler dominates at
+    fine h) -- halving tau roughly halves the error."""
+    errs = {}
+    for N_t in (16, 32, 64):
+        prob = HeatControlProblem(ProblemConfig(N_x=128, N_t=N_t))
+        sol = prob.solve(SolverConfig(method="woodbury"))
+        errs[N_t] = prob.error_vs_analytic(sol)
+    r1 = errs[16] / errs[32]
+    r2 = errs[32] / errs[64]
+    assert 1.5 < r1 < 2.6, errs
+    assert 1.5 < r2 < 2.6, errs
+
+
+def test_2d_lumped_direct():
+    prob = HeatControlProblem(ProblemConfig(N_x=12, N_t=10, dim=2, mass="lumped"))
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    assert prob.relative_residual(sol) < 1e-11
+
+
+def test_gamma_and_unscaled_guard():
+    prob = HeatControlProblem(ProblemConfig(N_x=9, N_t=8, gamma=0.5))
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    sol_lu = prob.solve(SolverConfig(method="direct"))
+    np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_lu.u), atol=1e-10)
+    with pytest.raises(ValueError, match="scaled"):
+        HeatControlProblem(ProblemConfig(N_x=9, N_t=8, scaled=False))
+
+
+def test_consistent_mass_2d_rejected_with_clear_error():
+    prob = HeatControlProblem(ProblemConfig(N_x=8, N_t=6, dim=2, mass="consistent"))
+    with pytest.raises(ValueError, match="diagonalizable"):
+        prob.solve(SolverConfig(method="woodbury"))
