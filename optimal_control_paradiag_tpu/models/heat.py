@@ -169,8 +169,14 @@ class HeatControlProblem:
 
     # ------------------------------------------------------ spectral pieces
 
-    def _plan(self):
-        """Host constants of the diagonalized system (numpy)."""
+    def _plan(self, mass_surrogate: bool = False):
+        """Host constants of the diagonalized system (numpy).
+
+        ``mass_surrogate``: for the 2D consistent mass, substitute the
+        tensor-part mass spectrum (``P1Space.spectrum_tensor``) -- the plan
+        then describes the EXACTLY-solvable surrogate operator used as the
+        outer preconditioner (same trick as the wave model's
+        ``build_tensor_gmres_solver``)."""
         cfg = self.config
         sp = self.space
         N_t = cfg.N_t
@@ -178,7 +184,9 @@ class HeatControlProblem:
         th = tau / math.sqrt(cfg.gamma)
         muM, muK = sp.spectrum
         if muM is None:
-            raise ValueError("heat spectral solves need a sine-diagonalizable space")
+            if not mass_surrogate:
+                raise ValueError("heat spectral solves need a sine-diagonalizable space")
+            muM = sp.spectrum_tensor
         muM = np.asarray(muM, np.float64)
         muK = np.asarray(muK, np.float64)
         k = np.arange(N_t)
@@ -188,16 +196,20 @@ class HeatControlProblem:
         det = np.abs(a11) ** 2 + tm * tm
         return L1, muM, muK, a11, tm, det
 
-    def build_woodbury_solver(self, refine: int = 1) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    def build_woodbury_solver(
+        self, refine: int = 1, mass_surrogate: bool = False
+    ) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """Half-spectrum rank-2 SMW direct solve ``b -> x`` (module docstring);
-        jit-wrap for repeated use. Exact in float64; ``refine`` polishes f32."""
+        jit-wrap for repeated use. Exact in float64; ``refine`` polishes f32.
+        With ``mass_surrogate`` it is the exact solve of the TENSOR-mass
+        surrogate operator (2D consistent preconditioner)."""
         cfg = self.config
         sp = self.space
         N_t = cfg.N_t
         K = N_t // 2 + 1
         rdtype = cfg.dtype
         np_c = np.dtype(np.complex64) if jnp.dtype(rdtype).itemsize == 4 else np.dtype(np.complex128)
-        L1, muM64, muK64, a11_h, tm_h, det_h = self._plan()
+        L1, muM64, muK64, a11_h, tm_h, det_h = self._plan(mass_surrogate=mass_surrogate)
 
         # Half-spectrum constants (pairing weights on extraction rows).
         k = np.arange(K)
@@ -284,6 +296,21 @@ class HeatControlProblem:
 
         return solve
 
+    def build_tensor_gmres_solver(
+        self, rtol: float = 1e-10, maxiter: int = 60, with_result: bool = False
+    ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Mesh-independent 2D consistent-mass solve: GMRES preconditioned by
+        the EXACT tensor-mass surrogate SMW direct solve -- the heat analogue
+        of ``paradiag.woodbury2d.build_tensor_gmres_solver`` (measured: 3-4
+        iterations at rtol 1e-10 across N, tests/test_heat.py)."""
+        W_t = self.build_woodbury_solver(refine=0, mass_surrogate=True)
+
+        def solve(b):
+            res = gmres(self.matvec, b, M=W_t, restart=maxiter, rtol=rtol, maxiter=maxiter)
+            return (res.x, res) if with_result else res.x
+
+        return solve
+
     def build_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """Circulant ParaDiag PC (the fulldiag analogue): rfft(time) + DST ->
         per-(mode, wavenumber) 2x2 Cramer -> back."""
@@ -314,8 +341,14 @@ class HeatControlProblem:
         key = solver
         if key not in self._cache:
             if solver.method == "woodbury":
-                wb = jax.jit(self.build_woodbury_solver(refine=solver.refine))
-                self._cache[key] = lambda b: (wb(b), None)
+                if self.space.diagonalizable:
+                    wb = jax.jit(self.build_woodbury_solver(refine=solver.refine))
+                    self._cache[key] = lambda b: (wb(b), None)
+                else:
+                    f64 = jnp.dtype(self.config.dtype).itemsize == 8
+                    tight = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
+                    tg = jax.jit(self.build_tensor_gmres_solver(rtol=tight, with_result=True))
+                    self._cache[key] = tg
             elif solver.method == "gmres":
                 pc = self.build_preconditioner() if solver.pc == "paradiag" else None
 

@@ -63,7 +63,20 @@ def test_gamma_and_unscaled_guard():
         HeatControlProblem(ProblemConfig(N_x=9, N_t=8, scaled=False))
 
 
-def test_consistent_mass_2d_rejected_with_clear_error():
+def test_consistent_mass_2d_tensor_pc_flat_iterations():
+    """2D consistent mass: method='woodbury' dispatches to GMRES with the
+    EXACT tensor-mass surrogate SMW as preconditioner; iterations stay flat
+    across mesh refinement and the residual is direct-grade."""
+    iters = {}
+    for N in (8, 16, 32):
+        prob = HeatControlProblem(ProblemConfig(N_x=N, N_t=N, dim=2, mass="consistent"))
+        sol = prob.solve(SolverConfig(method="woodbury"))
+        assert bool(sol.result.converged)
+        assert prob.relative_residual(sol) < 1e-9
+        iters[N] = int(sol.result.iterations)
+    assert max(iters.values()) <= 8, iters
+    assert max(iters.values()) - min(iters.values()) <= 2, iters
+    # raw spectral build still rejects non-diagonalizable spaces
     prob = HeatControlProblem(ProblemConfig(N_x=8, N_t=6, dim=2, mass="consistent"))
     with pytest.raises(ValueError, match="diagonalizable"):
-        prob.solve(SolverConfig(method="woodbury"))
+        prob.build_woodbury_solver()
