@@ -9,6 +9,8 @@ writing ``error.out``):
   python -m optimal_control_paradiag_tpu.run --sweep          # N = 5..70 sweep
   python -m optimal_control_paradiag_tpu.run --dim 2 --mass lumped
   python -m optimal_control_paradiag_tpu.run --method direct  # LU baseline
+  python -m optimal_control_paradiag_tpu.run --model heat --method woodbury
+  python -m optimal_control_paradiag_tpu.run --model heat --sweep  # tau-order
 """
 
 from __future__ import annotations
@@ -21,6 +23,13 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument(
+        "--model",
+        default="wave",
+        choices=("wave", "heat"),
+        help="model family: the reference's wave control problem, or the "
+        "backward-Euler heat control problem (models/heat.py)",
+    )
     p.add_argument("--nx", type=int, default=80, help="spatial elements (ref default 80)")
     p.add_argument("--nt", type=int, default=81, help="time slices (ref default 81)")
     p.add_argument("--T", type=float, default=2.0)
@@ -92,6 +101,8 @@ def main(argv=None):
     )
     os.makedirs(args.out, exist_ok=True)
 
+    if args.model == "heat":
+        return run_heat(args, dtype, solver)
     if args.sweep:
         return run_sweep(args, dtype, solver)
 
@@ -135,6 +146,66 @@ def main(argv=None):
             plot_residual_history(
                 sol.result.residual_history, out=os.path.join(args.out, "residuals.png")
             )
+    return record
+
+
+def run_heat(args, dtype, solver):
+    """The heat-control family (models/heat.py). ``--sweep`` runs the
+    tau-refinement study (N_t doubling at fixed N_x): backward Euler's O(tau)
+    is the analogue of the reference's O(N^-2) wave sweep
+    (``Control_Wave_PC.py:583-631``)."""
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import ProblemConfig
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
+    from optimal_control_paradiag_tpu.utils.timing import StageTimer
+
+    if solver.method not in ("woodbury", "gmres", "direct"):
+        raise SystemExit(f"--model heat supports woodbury/gmres/direct, not {solver.method!r}")
+
+    if args.sweep:
+        Nts = [8, 16, 32, 64, 128]
+        errors, iters = [], []
+        for N_t in Nts:
+            prob = HeatControlProblem(
+                ProblemConfig(N_x=args.nx if args.nx != 80 else 128, N_t=N_t, T=args.T,
+                              gamma=args.gamma, dim=args.dim, mass=args.mass, dtype=dtype)
+            )
+            sol = prob.solve(solver)
+            errors.append(prob.error_vs_analytic(sol) if args.dim == 1 else float("nan"))
+            iters.append(int(sol.result.iterations) if sol.result is not None else 0)
+            print(f"N_t={N_t:4d} iters={iters[-1]:3d} e={errors[-1]:.6e}")
+        np.savetxt(os.path.join(args.out, "error.out"), np.asarray(errors))
+        with open(os.path.join(args.out, "sweep.json"), "w") as f:
+            json.dump({"N_t": Nts, "error": errors, "iterations": iters}, f, indent=2)
+        return {"N_t": Nts, "errors": errors}
+
+    cfg = ProblemConfig(
+        N_x=args.nx, N_t=args.nt, T=args.T, gamma=args.gamma,
+        dim=args.dim, mass=args.mass, dtype=dtype,
+    )
+    timer = StageTimer()
+    with timer.stage("setup"):
+        prob = HeatControlProblem(cfg)
+        _ = prob.rhs
+    with timer.stage("solve (compile + run)") as out:
+        sol = prob.solve(solver)
+        out["fence"] = sol.u
+    with timer.stage("solve (cached)") as out:
+        sol = prob.solve(solver)
+        out["fence"] = sol.u
+    record = {
+        "config": {k: str(v) for k, v in vars(args).items()},
+        "iterations": int(sol.result.iterations) if sol.result is not None else None,
+        "relative_residual": prob.relative_residual(sol),
+        "error_vs_analytic": prob.error_vs_analytic(sol) if args.dim == 1 else None,
+        "timings_ms": {k: v * 1000 for k, v in timer.records.items()},
+    }
+    print(json.dumps(record, indent=2))
+    np.savez(
+        os.path.join(args.out, "heat_solution.npz"),
+        u=np.asarray(sol.u), p=np.asarray(sol.p),
+    )
     return record
 
 

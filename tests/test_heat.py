@@ -63,6 +63,43 @@ def test_gamma_and_unscaled_guard():
         HeatControlProblem(ProblemConfig(N_x=9, N_t=8, scaled=False))
 
 
+def test_autodiff_lagrangian_oracle():
+    """Derivation oracle (the heat analogue of the reference's
+    ``fd.derivative(S, U)`` path, Func_Version.py:102): the gradient of the
+    discrete Lagrangian
+
+      L(uh, p) = sum_i [ tau/2 ||uh_i/sqrt(g) - g_i||_M^2
+                 - tau/(2 g) ||p_i||_M^2
+                 + p_i^T (M(uh_i - uh_{i-1}) + tau K uh_i - tau M fh_i)/sqrt(g) ]
+
+    (control eliminated, sqrt(gamma)-scaled state, uh_0 given) must equal the
+    hand-written all-at-once residual with the blocks SWAPPED:
+    sqrt(g) * grad L = (p-row residual, u-row residual). This independently
+    validates both ``matvec`` and ``rhs`` at gamma != 1."""
+    g = 0.7
+    prob = HeatControlProblem(ProblemConfig(N_x=9, N_t=8, gamma=g))
+    sp, tau = prob.space, prob.tau
+    d = prob._data
+    sqg = np.sqrt(g)
+
+    def lagrangian(x):
+        uh, p = x[0], x[1]
+        um1 = jnp.concatenate([d["u0"][None], uh[:-1]], axis=0)
+        mdot = lambda a, b: jnp.sum(a * jax.vmap(sp.apply_mass)(b))
+        kdot = lambda a, b: jnp.sum(a * jax.vmap(sp.apply_stiffness)(b))
+        track = uh / sqg - d["g"]
+        L = 0.5 * tau * mdot(track, track) - 0.5 * tau / g * mdot(p, p)
+        L = L + (mdot(p, uh - um1) + tau * kdot(p, uh) - tau * mdot(p, d["f"])) / sqg
+        return L
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, sp.n)))
+    grad = jax.grad(lagrangian)(x)
+    resid = prob.matvec(x) - prob.rhs
+    np.testing.assert_allclose(np.asarray(sqg * grad[0]), np.asarray(resid[1]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sqg * grad[1]), np.asarray(resid[0]), atol=1e-12)
+
+
 def test_consistent_mass_2d_tensor_pc_flat_iterations():
     """2D consistent mass: method='woodbury' dispatches to GMRES with the
     EXACT tensor-mass surrogate SMW as preconditioner; iterations stay flat
