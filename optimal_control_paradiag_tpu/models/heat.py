@@ -197,17 +197,33 @@ class HeatControlProblem:
         return L1, muM, muK, a11, tm, det
 
     def build_woodbury_solver(
-        self, refine: int = 1, mass_surrogate: bool = False
+        self,
+        refine: int = 1,
+        mass_surrogate: bool = False,
+        layout=None,
+        time_transform: Optional[str] = None,
     ) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """Half-spectrum rank-2 SMW direct solve ``b -> x`` (module docstring);
         jit-wrap for repeated use. Exact in float64; ``refine`` polishes f32.
         With ``mass_surrogate`` it is the exact solve of the TENSOR-mass
-        surrogate operator (2D consistent preconditioner)."""
+        surrogate operator (2D consistent preconditioner).
+
+        ``layout`` (a :class:`parallel.sharding.ParallelLayout`): multi-chip
+        sharded solve -- the same stage-layout pipeline as the wave family
+        (``paradiag.spectral.make_halfspectrum_transforms``), with the
+        per-(mode, wavenumber) diagonal built INSIDE the traced program from
+        its 1D factors (no O(N_t*n) embedded constants; cf the wave plan's
+        ``mode_diag``). The boundary-slice extractions become cross-shard
+        phase-sum reductions (XLA inserts the psums)."""
         cfg = self.config
         sp = self.space
         N_t = cfg.N_t
         K = N_t // 2 + 1
         rdtype = cfg.dtype
+        tau = self.tau
+        th = tau / math.sqrt(cfg.gamma)
+        if time_transform is None:
+            time_transform = "dft" if layout is not None else "fft"
         np_c = np.dtype(np.complex64) if jnp.dtype(rdtype).itemsize == 4 else np.dtype(np.complex128)
         L1, muM64, muK64, a11_h, tm_h, det_h = self._plan(mass_surrogate=mass_surrogate)
 
@@ -245,16 +261,26 @@ class HeatControlProblem:
         assert float(np.abs(G_h.imag).max()) < 1e-9 * max(float(np.abs(G_h.real).max()), 1.0)
         G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(2)] for a in range(2)]
 
-        a11c = host_const(a11_h[:K].astype(np_c), np_c)
-        a22c = host_const(np.conj(a11_h[:K]).astype(np_c), np_c)
-        tmc = host_const(tm_h.astype(np.float64), rdtype)
-        invdet = host_const((1.0 / det_h[:K]), rdtype)
-        m1 = host_const(muM64, rdtype)
+        # Traced per-(mode, wavenumber) diagonal from 1D factors: a11 is the
+        # outer product L1 (x) muM plus the broadcast tau * muK -- built
+        # inside the program so the compiled artifact embeds O(K + n)
+        # constants, not O(K * n).
+        L1c = host_const(L1[:K].astype(np_c), np_c)
+        muMc = host_const(muM64, rdtype)
+        muKc = host_const(muK64, rdtype)
+        m1 = muMc
+
+        def mode_diag():
+            a11 = L1c[:, None] * muMc[None, :] + tau * muKc[None, :]
+            tm = th * muMc[None, :]
+            inv_det = 1.0 / (jnp.square(a11.real) + jnp.square(a11.imag) + jnp.square(tm))
+            return a11, jnp.conj(a11), tm, inv_det
 
         def D_inv(r):
+            a11, a22, tm, inv_det = mode_diag()
             ru, rp = r[0], r[1]
-            yu = (a22c * ru + tmc * rp) * invdet
-            yp = (a11c * rp - tmc * ru) * invdet
+            yu = (a22 * ru + tm * rp) * inv_det
+            yp = (a11 * rp - tm * ru) * inv_det
             return jnp.stack([yu, yp])
 
         def extract(y):
@@ -264,8 +290,9 @@ class HeatControlProblem:
             )
 
         def A_hat(xi):
-            du = a11c * xi[0] - tmc * xi[1]
-            dp = tmc * xi[0] + a22c * xi[1]
+            a11, a22, tm, _ = mode_diag()
+            du = a11 * xi[0] - tm * xi[1]
+            dp = tm * xi[0] + a22 * xi[1]
             uN, p1 = extract(xi)
             du = du + psi_u1[:, None] * (m1 * uN)[None, :]
             dp = dp + psi_pN[:, None] * (m1 * p1)[None, :]
@@ -279,13 +306,11 @@ class HeatControlProblem:
             corr_p = psi_pN[:, None] * w[1][None, :]
             return y - D_inv(jnp.stack([corr_u, corr_p]))
 
-        def to_spectral(x):
-            s = sp.dst(x)
-            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+        from optimal_control_paradiag_tpu.paradiag.spectral import make_halfspectrum_transforms
 
-        def from_spectral(xi):
-            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
-            return sp.idst(t).astype(rdtype)
+        to_spectral, from_spectral = make_halfspectrum_transforms(
+            sp, N_t, rdtype, layout=layout, time_transform=time_transform
+        )
 
         def solve(b):
             b_hat = to_spectral(b)

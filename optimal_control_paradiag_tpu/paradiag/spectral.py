@@ -367,6 +367,86 @@ def _capacity_CW(pl: _SpectralPlan):
     return C, W
 
 
+def make_halfspectrum_transforms(
+    space,
+    N_t: int,
+    rdtype,
+    layout=None,
+    time_transform: str = "fft",
+) -> Tuple[Callable, Callable]:
+    """``(to_spectral, from_spectral)`` for the half-spectrum pipeline shared
+    by every model family (wave Woodbury here; the heat family imports it):
+
+        xi = conj(rfft(dst(x), axis=1)) / N_t        (2, K, n) complex
+        x  = idst(irfft(conj(xi)) * N_t)             (2, N_t, n) real
+
+    ``time_transform='dft'`` expresses the rfft/irfft as split-real MXU
+    matmuls with the Hermitian pairing weights folded into the inverse
+    matrices -- REQUIRED under a :class:`parallel.sharding.ParallelLayout`
+    (XLA's SPMD partitioning of complex FFTs miscompiles), where each
+    einsum's output is pinned to its stage layout so the transitions lower
+    to explicit all-to-alls instead of full-state replication."""
+    sp = space
+    K = N_t // 2 + 1
+    if layout is None:
+        from optimal_control_paradiag_tpu.parallel.sharding import IdentityLayout
+
+        layout = IdentityLayout()
+    elif time_transform != "dft":
+        raise ValueError("sharded half-spectrum transforms require time_transform='dft'")
+    lay = layout
+
+    if time_transform == "dft":
+        k = np.arange(K)
+        wgt = np.full(K, 2.0)
+        wgt[0] = 1.0
+        if N_t % 2 == 0:
+            wgt[K - 1] = 1.0
+        t_idx = np.arange(N_t)
+        ang = 2.0 * np.pi * np.outer(k, t_idx) / N_t
+        Cf = host_const(np.cos(ang) / N_t, rdtype)
+        Sf = host_const(np.sin(ang) / N_t, rdtype)
+        Ci = host_const((wgt[None, :] * np.cos(ang).T), rdtype)
+        Si = host_const((wgt[None, :] * np.sin(ang).T), rdtype)
+        _hi = jax.lax.Precision.HIGHEST
+
+        def to_spectral(x):
+            # DST with the time axis sharded (space contraction is local);
+            # then time-local for the K x N_t transform matmuls; then
+            # bin-sharded for the elementwise solve. Each einsum's OUTPUT is
+            # pinned to the layout its contraction keeps local, so the
+            # stage transitions lower to explicit reshard collectives
+            # (all-to-alls) -- without the output pins GSPMD's propagation
+            # replicates the full state through the dots instead.
+            s = lay.mode_local(sp.dst(lay.mode_local(x)))
+            s = lay.time_local(s)
+            re = jnp.einsum("kt,ctn->ckn", Cf, s, precision=_hi)
+            im = jnp.einsum("kt,ctn->ckn", Sf, s, precision=_hi)
+            xi = lay.time_local(jax.lax.complex(re, im))
+            return lay.mode_local(xi)
+
+        def from_spectral(xi):
+            xi = lay.time_local(xi)  # K local per shard for the k-contraction
+            t = jnp.einsum("tk,ckn->ctn", Ci, xi.real, precision=_hi) + jnp.einsum(
+                "tk,ckn->ctn", Si, xi.imag, precision=_hi
+            )
+            t = lay.time_local(t)
+            out = lay.mode_local(sp.idst(lay.mode_local(t)).astype(rdtype))
+            return lay.canonical(out)
+
+    else:
+
+        def to_spectral(x):
+            s = sp.dst(x)  # real fast path; commutes with the time transform
+            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+        def from_spectral(xi):
+            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+            return sp.idst(t).astype(rdtype)
+
+    return to_spectral, from_spectral
+
+
 def _build_woodbury_half(
     op: AllAtOnceOperator,
     pl: _SpectralPlan,
@@ -407,14 +487,9 @@ def _build_woodbury_half(
     N_t, n = pl.N_t, pl.n
     K = N_t // 2 + 1
     rdtype, np_c = pl.rdtype, pl.np_c
-    if layout is None:
-        from optimal_control_paradiag_tpu.parallel.sharding import IdentityLayout
-
-        layout = IdentityLayout()
-    else:
-        if time_transform != "dft":
-            raise ValueError("sharded half-spectrum Woodbury requires time_transform='dft'")
-    lay = layout
+    to_spectral, from_spectral = make_halfspectrum_transforms(
+        sp, N_t, rdtype, layout=layout, time_transform=time_transform
+    )
 
     m1 = host_const(pl.muM64, rdtype)
     kap1 = host_const(pl.c * pl.muK64, rdtype)
@@ -472,54 +547,6 @@ def _build_woodbury_half(
         corr_u = psi_u0[:, None] * w[0][None, :] + psi_u1[:, None] * w[1][None, :]
         corr_p = psi_pNm1[:, None] * w[2][None, :] + psi_pNm2[:, None] * w[3][None, :]
         return y - D_inv(jnp.stack([corr_u, corr_p]))
-
-    if time_transform == "dft":
-        # Half-spectrum DFT as real MXU matmuls (the same move that wins for
-        # the spatial DST, fem/space.py): conj(rfft(s))/N = (C + iS) s / N
-        # with C[k,t] = cos(2 pi k t / N), S[k,t] = sin(...), k = 0..K-1; the
-        # inverse uses the Hermitian pairing weights folded into the
-        # matrices: x_t = sum_k wgt_k (Re xi_k cos + Im xi_k sin).
-        t_idx = np.arange(N_t)
-        ang = 2.0 * np.pi * np.outer(k, t_idx) / N_t
-        Cf = host_const(np.cos(ang) / N_t, rdtype)
-        Sf = host_const(np.sin(ang) / N_t, rdtype)
-        Ci = host_const((wgt[None, :] * np.cos(ang).T), rdtype)
-        Si = host_const((wgt[None, :] * np.sin(ang).T), rdtype)
-        _hi = jax.lax.Precision.HIGHEST
-
-        def to_spectral(x):
-            # DST with the time axis sharded (space contraction is local);
-            # then time-local for the K x N_t transform matmuls; then
-            # bin-sharded for the elementwise solve. Each einsum's OUTPUT is
-            # pinned to the layout its contraction keeps local, so the
-            # stage transitions lower to explicit reshard collectives
-            # (all-to-alls) -- without the output pins GSPMD's propagation
-            # replicates the full state through the dots instead.
-            s = lay.mode_local(sp.dst(lay.mode_local(x)))
-            s = lay.time_local(s)
-            re = jnp.einsum("kt,ctn->ckn", Cf, s, precision=_hi)
-            im = jnp.einsum("kt,ctn->ckn", Sf, s, precision=_hi)
-            xi = lay.time_local(jax.lax.complex(re, im))
-            return lay.mode_local(xi)
-
-        def from_spectral(xi):
-            xi = lay.time_local(xi)  # K local per shard for the k-contraction
-            t = jnp.einsum("tk,ckn->ctn", Ci, xi.real, precision=_hi) + jnp.einsum(
-                "tk,ckn->ctn", Si, xi.imag, precision=_hi
-            )
-            t = lay.time_local(t)
-            out = lay.mode_local(sp.idst(lay.mode_local(t)).astype(rdtype))
-            return lay.canonical(out)
-
-    else:
-
-        def to_spectral(x):
-            s = sp.dst(x)  # real fast path; commutes with the time transform
-            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
-
-        def from_spectral(xi):
-            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
-            return sp.idst(t).astype(rdtype)
 
     def solve(b):
         b_hat = to_spectral(b)

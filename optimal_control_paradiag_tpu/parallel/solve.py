@@ -70,3 +70,63 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
         return res.x, res
 
     return jax.jit(run, in_shardings=in_shardings), state_sharding
+
+
+def make_sharded_heat_solver(problem, solver: Optional[SolverConfig], layout: ParallelLayout):
+    """Sharded solve for the heat-control family (``models/heat.py``) --
+    same contract as :func:`make_sharded_solver`.
+
+    - ``method='woodbury'`` on a sine-diagonalizable space: the rank-2 SMW
+      DIRECT solve, sharded through the shared half-spectrum stage pipeline
+      (``HeatControlProblem.build_woodbury_solver(layout=...)``).
+    - otherwise (``method='gmres'``, or 2D consistent mass where the exact
+      spectral factorization does not exist): sharded GMRES on the canonical
+      layout, preconditioned by the sharded SMW solve (exact, or the
+      tensor-mass surrogate for the consistent case -- the heat analogue of
+      the wave family's tensor-PC dispatch)."""
+    import jax.numpy as jnp
+
+    solver = solver or SolverConfig(method="woodbury")
+    N_t, n = problem.config.N_t, problem.space.n
+    n_time, n_space = layout.mesh.devices.shape
+    even = (N_t % n_time == 0) and (n % n_space == 0)
+    state_sharding = layout.sharding(layout.canonical_spec) if even else None
+    in_shardings = (state_sharding,) if even else None
+    diag = problem.space.diagonalizable
+
+    if solver.method == "woodbury" and diag:
+        wb = problem.build_woodbury_solver(refine=solver.refine, layout=layout)
+
+        def run_wb(b):
+            return layout.canonical(wb(layout.canonical(b))), None
+
+        return jax.jit(run_wb, in_shardings=in_shardings), state_sharding
+
+    if solver.method not in ("woodbury", "gmres"):
+        raise NotImplementedError(f"sharded heat solve: method {solver.method!r}")
+
+    M = problem.build_woodbury_solver(refine=0, mass_surrogate=not diag, layout=layout)
+    if solver.method == "woodbury":
+        # Direct-solve contract on a non-diagonalizable space: tighten rtol
+        # (mirrors HeatControlProblem.solve's auto dispatch).
+        f64 = jnp.dtype(problem.config.dtype).itemsize == 8
+        rtol = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
+    else:
+        rtol = solver.rtol
+
+    def matvec(x):
+        return layout.canonical(problem.matvec(layout.canonical(x)))
+
+    def run(b):
+        res = gmres(
+            matvec,
+            layout.canonical(b),
+            M=lambda r: layout.canonical(M(r)),
+            restart=solver.restart,
+            rtol=rtol,
+            atol=solver.atol,
+            maxiter=solver.maxiter,
+        )
+        return res.x, res
+
+    return jax.jit(run, in_shardings=in_shardings), state_sharding
