@@ -50,6 +50,9 @@ Suite stages (each guarded; failures recorded, not fatal):
     iteration counts -- the capability the reference only gets from MUMPS
     (Control_Wave_PC.py:186).
   batched_woodbury             -- multi-RHS throughput (B=8, solves/s).
+  heat_woodbury                -- the SECOND MODEL FAMILY (models/heat.py):
+    backward-Euler heat-control, rank-2 half-spectrum SMW direct solve at
+    the same headline size.
   roofline                     -- analytic bytes/flops model of the headline
     solve; achieved GB/s and matmul FLOP/s vs chip peaks, plus nnz/s of the
     assembled all-at-once matrix (BASELINE.md acceptance metric).
@@ -353,6 +356,27 @@ def stage_batched(prob, B=8):
     return {"batch": B, "ms_per_batch": round(ms, 3), "solves_per_s": round(B / (ms / 1e3), 1)}
 
 
+def stage_heat():
+    """Second model family at the headline size: backward-Euler heat-equation
+    optimal control (models/heat.py), rank-2 half-spectrum SMW direct solve
+    (refine=1), float32, f64 host-oracle residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu import ProblemConfig
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
+
+    prob = HeatControlProblem(ProblemConfig(N_x=N_X, N_t=N_T, dtype=jnp.float32))
+    wb = jax.jit(prob.build_woodbury_solver(refine=1))
+    b = prob.rhs
+    x = wb(b)
+    x.block_until_ready()
+    s = math.sqrt(prob.config.gamma)
+    rel = prob.relative_residual_f64(HeatSolution(u=x[0] / s, p=x[1], result=None))
+    ms = _chain_time(wb, b, chain=20, reps=REPS) * 1e3
+    return {"n_dofs": 2 * N_T * prob.space.n, "rel_f64": rel, "ms_per_solve": round(ms, 3)}
+
+
 def _cpu_cache_key():
     return f"nx{N_X}_nt{N_T}_{platform.node()}"
 
@@ -555,6 +579,8 @@ def main():
             guard("consistent_2d_woodbury", stage_consistent_2d, est_s=150)
             write_suite()
             guard("batched_woodbury", stage_batched, prob, est_s=60)
+            write_suite()
+            guard("heat_woodbury", stage_heat, est_s=90)
         except Exception as exc:  # noqa: BLE001  (headline already printed)
             suite["suite_error"] = f"{type(exc).__name__}: {exc}"[:400]
 

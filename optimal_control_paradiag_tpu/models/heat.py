@@ -418,6 +418,38 @@ class HeatControlProblem:
 
     # ------------------------------------------------------------ validation
 
+    def matvec_host_f64(self, x: np.ndarray) -> np.ndarray:
+        """Host float64 twin of :meth:`matvec` (numpy throughout) -- the
+        residual oracle for float32 device solutions, mirroring the wave
+        family (models/wave.py relative_residual_f64)."""
+        sp = self.space
+        tau = self.tau
+        th = tau / math.sqrt(self.config.gamma)
+        u = np.asarray(x[0], np.float64)
+        p = np.asarray(x[1], np.float64)
+        um1 = np.concatenate([np.zeros_like(u[:1]), u[:-1]], axis=0)
+        pp1 = np.concatenate([p[1:], np.zeros_like(p[:1])], axis=0)
+        row_u = (
+            sp.apply_mass_host_f64(u - um1)
+            + tau * sp.apply_stiffness_host_f64(u)
+            - th * sp.apply_mass_host_f64(p)
+        )
+        row_p = (
+            sp.apply_mass_host_f64(p - pp1)
+            + tau * sp.apply_stiffness_host_f64(p)
+            + th * sp.apply_mass_host_f64(u)
+        )
+        return np.stack([row_u, row_p])
+
+    def relative_residual_f64(self, sol: HeatSolution) -> float:
+        """True ``||A x - b|| / ||b||`` of the (dtype-rounded) system via the
+        host float64 matvec twin."""
+        s = math.sqrt(self.config.gamma)
+        x = np.stack([np.asarray(sol.u, np.float64) * s, np.asarray(sol.p, np.float64)])
+        b = np.asarray(self.rhs, np.float64)
+        r = self.matvec_host_f64(x) - b
+        return float(np.linalg.norm(r.ravel()) / np.linalg.norm(b.ravel()))
+
     def relative_residual(self, sol: HeatSolution) -> float:
         s = math.sqrt(self.config.gamma)
         x = jnp.stack([sol.u * s, sol.p])

@@ -117,3 +117,16 @@ def test_consistent_mass_2d_tensor_pc_flat_iterations():
     prob = HeatControlProblem(ProblemConfig(N_x=8, N_t=6, dim=2, mass="consistent"))
     with pytest.raises(ValueError, match="diagonalizable"):
         prob.build_woodbury_solver()
+
+
+def test_host_f64_oracle_matches_device_matvec():
+    """matvec_host_f64 is an exact numpy twin of the device matvec (f64),
+    and relative_residual_f64 of a direct solve is at rounding level."""
+    prob = HeatControlProblem(ProblemConfig(N_x=13, N_t=8, gamma=0.5))
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 8, prob.space.n))
+    np.testing.assert_allclose(
+        prob.matvec_host_f64(x), np.asarray(prob.matvec(jnp.asarray(x))), atol=1e-13
+    )
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    assert prob.relative_residual_f64(sol) < 1e-12
