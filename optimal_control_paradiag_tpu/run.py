@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rtol", type=float, default=1e-5)
     p.add_argument("--restart", type=int, default=300)
     p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="TIME,SPACE",
+        help="run the solve sharded over a ('time','space') device mesh, "
+        "e.g. '4,2' (needs 8 devices). Uses jax.devices(); for a virtual "
+        "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+        "and --platform cpu",
+    )
     p.add_argument("--sweep", action="store_true", help="run the N=5..70 convergence sweep (ref :583-631)")
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--write-vtk", action="store_true")
@@ -101,6 +110,8 @@ def main(argv=None):
     )
     os.makedirs(args.out, exist_ok=True)
 
+    if args.mesh and not args.sweep:
+        return run_sharded(args, dtype, solver)
     if args.model == "heat":
         return run_heat(args, dtype, solver)
     if args.sweep:
@@ -146,6 +157,69 @@ def main(argv=None):
             plot_residual_history(
                 sol.result.residual_history, out=os.path.join(args.out, "residuals.png")
             )
+    return record
+
+
+def run_sharded(args, dtype, solver):
+    """Sharded execution over a ('time','space') device mesh -- the CLI
+    surface of the parallel layer (parallel/solve.py). Both model families."""
+    import math
+
+    import jax
+
+    from optimal_control_paradiag_tpu import ProblemConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.parallel.sharding import make_layout
+    from optimal_control_paradiag_tpu.parallel.solve import (
+        make_sharded_heat_solver,
+        make_sharded_solver,
+    )
+
+    try:
+        n_time, n_space = (int(v) for v in args.mesh.split(","))
+    except ValueError:
+        raise SystemExit(f"--mesh expects 'TIME,SPACE' integers, got {args.mesh!r}")
+    layout = make_layout(n_time, n_space)
+    cfg = ProblemConfig(
+        N_x=args.nx, N_t=args.nt, T=args.T, gamma=args.gamma,
+        dim=args.dim, mass=args.mass, dtype=dtype,
+    )
+    if args.model == "heat":
+        from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
+
+        prob = HeatControlProblem(cfg)
+        run, sharding = make_sharded_heat_solver(prob, solver, layout)
+    else:
+        prob = WaveControlProblem(cfg)
+        run, sharding = make_sharded_solver(prob, solver, layout)
+    b = jax.device_put(prob.rhs, sharding) if sharding is not None else prob.rhs
+
+    t0 = time.time()
+    x, res = run(b)
+    jax.block_until_ready(x)
+    t_compile = time.time() - t0
+    t0 = time.time()
+    x, res = run(b)
+    jax.block_until_ready(x)
+    t_cached = time.time() - t0
+
+    if args.model == "heat":
+        s = math.sqrt(cfg.gamma)
+        sol = HeatSolution(u=x[0] / s, p=x[1], result=res)
+        resid = prob.relative_residual(sol)
+    else:
+        from optimal_control_paradiag_tpu.models.wave import WaveSolution
+
+        u, p = prob._unscale(x)
+        sol = WaveSolution(u=u, p=p, result=res)
+        resid = float(prob.residual_norm(sol))
+    record = {
+        "mesh": {"time": n_time, "space": n_space, "devices": n_time * n_space},
+        "model": args.model,
+        "iterations": int(res.iterations) if res is not None else None,
+        "residual": resid,
+        "timings_ms": {"solve (compile + run)": t_compile * 1e3, "solve (cached)": t_cached * 1e3},
+    }
+    print(json.dumps(record, indent=2))
     return record
 
 

@@ -149,3 +149,32 @@ def test_monitor_and_reasons():
 
     bad = prob.solve(SolverConfig(rtol=1e-30, maxiter=5, restart=5))
     assert converged_reason(bad.result, 1e-30, 5) == "DIVERGED_ITS"
+
+
+def test_cli_heat_run(tmp_path):
+    from optimal_control_paradiag_tpu.run import main
+
+    rec = main(["--model", "heat", "--nx", "16", "--nt", "8",
+                "--method", "woodbury", "--out", str(tmp_path)])
+    assert rec["relative_residual"] < 1e-10
+    assert os.path.exists(tmp_path / "heat_solution.npz")
+
+
+def test_cli_sharded_mesh(tmp_path):
+    """--mesh runs the sharded path on the 8-virtual-device mesh (conftest)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    from optimal_control_paradiag_tpu.run import main
+
+    rec = main(["--mesh", "4,2", "--nx", "17", "--nt", "16",
+                "--rtol", "1e-8", "--out", str(tmp_path)])
+    assert rec["mesh"]["devices"] == 8
+    assert rec["iterations"] <= 10
+    assert rec["residual"] < 1e-8
+    rec = main(["--model", "heat", "--mesh", "4,2", "--nx", "17", "--nt", "16",
+                "--method", "woodbury", "--out", str(tmp_path)])
+    assert rec["residual"] < 1e-11
