@@ -336,6 +336,42 @@ class HeatControlProblem:
 
         return solve
 
+    def build_symmetric_system(self):
+        """``(matvec_sym, pc_spd, swap)`` -- the wave family's symmetrized
+        ParaDiag (paradiag/symmetric.py) generalized to the heat KKT system:
+        swapping the (u, p) block rows gives
+
+            A_sym = [[th M, B^T], [B, -th M]],   B = (I - T^-) (x) M + tau (x) K,
+
+        EXACTLY symmetric (B's adjoint block is B^T because the reversed
+        time stencil transposes the shift). The swapped circulant part per
+        (mode k, wavenumber j) is the traceless Hermitian
+        ``[[t, conj(a11)], [a11, -t]]`` with eigenvalues exactly
+        ``+/- sqrt(det)`` -- the same algebra as the wave, first-order
+        symbols -- so the SPD absolute-value preconditioner is the scalar
+        ``T^{-1} det^{-1/2} T``. 2D consistent mass substitutes the
+        tensor-part surrogate spectrum in the preconditioner only (matvec
+        and symmetry stay exact)."""
+        sp = self.space
+        N_t = self.config.N_t
+        K = N_t // 2 + 1
+        rdtype = self.config.dtype
+        _, _, _, _, _, det_h = self._plan(mass_surrogate=not sp.diagonalizable)
+        inv_sqrt_det = host_const(1.0 / np.sqrt(det_h[:K]), rdtype)
+
+        def swap(x):
+            return jnp.stack([x[1], x[0]])
+
+        def matvec_sym(x):
+            return swap(self.matvec(x))
+
+        def pc_spd(r):
+            rh = jnp.fft.rfft(sp.dst(r), axis=1)
+            y = jnp.fft.irfft(rh * inv_sqrt_det, n=N_t, axis=1)
+            return sp.idst(y).astype(rdtype)
+
+        return matvec_sym, pc_spd, swap
+
     def build_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
         """Circulant ParaDiag PC (the fulldiag analogue): rfft(time) + DST ->
         per-(mode, wavenumber) 2x2 Cramer -> back."""
@@ -391,6 +427,23 @@ class HeatControlProblem:
                     return res.x, res
 
                 self._cache[key] = run
+            elif solver.method == "minres":
+                from optimal_control_paradiag_tpu.krylov.minres import minres
+
+                matvec_sym, pc_spd, swap = self.build_symmetric_system()
+
+                @jax.jit
+                def run_minres(b):
+                    res = minres(
+                        matvec_sym,
+                        swap(b),
+                        M=pc_spd,
+                        rtol=solver.rtol,
+                        maxiter=solver.maxiter,
+                    )
+                    return res.x, res
+
+                self._cache[key] = run_minres
             elif solver.method == "direct":
 
                 def run_direct(b):

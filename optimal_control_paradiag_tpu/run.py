@@ -234,8 +234,10 @@ def run_heat(args, dtype, solver):
     from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
     from optimal_control_paradiag_tpu.utils.timing import StageTimer
 
-    if solver.method not in ("woodbury", "gmres", "direct"):
-        raise SystemExit(f"--model heat supports woodbury/gmres/direct, not {solver.method!r}")
+    if solver.method not in ("woodbury", "gmres", "minres", "direct"):
+        raise SystemExit(
+            f"--model heat supports woodbury/gmres/minres/direct, not {solver.method!r}"
+        )
 
     if args.sweep:
         Nts = [8, 16, 32, 64, 128]

@@ -130,3 +130,49 @@ def test_host_f64_oracle_matches_device_matvec():
     )
     sol = prob.solve(SolverConfig(method="woodbury"))
     assert prob.relative_residual_f64(sol) < 1e-12
+
+
+def test_batched_multi_rhs():
+    """vmap over the SMW direct solve: one compiled program, B systems."""
+    prob = HeatControlProblem(ProblemConfig(N_x=17, N_t=8))
+    wb = jax.jit(jax.vmap(prob.build_woodbury_solver(refine=0)))
+    rng = np.random.default_rng(7)
+    bs = jnp.asarray(rng.standard_normal((4, 2, 8, prob.space.n)))
+    xs = wb(bs)
+    single = jax.jit(prob.build_woodbury_solver(refine=0))
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(single(bs[i])), atol=1e-12)
+
+
+def test_symmetrized_minres():
+    """The heat KKT system symmetrizes by the same block-row swap as the
+    wave (models/heat.py:build_symmetric_system): asymmetry is exactly 0,
+    the scalar sqrt(det) SPD preconditioner gives flat ~6 iterations, and
+    the solution matches the SMW direct solve to rounding."""
+    prob = HeatControlProblem(ProblemConfig(N_x=7, N_t=6, gamma=0.8))
+    mv, _, _ = prob.build_symmetric_system()
+    m = 2 * 6 * prob.space.n
+    eye = np.eye(m)
+    cols = np.stack(
+        [np.asarray(mv(jnp.asarray(eye[j]).reshape(2, 6, -1)).reshape(-1)) for j in range(m)],
+        axis=1,
+    )
+    assert np.abs(cols - cols.T).max() == 0.0
+
+    iters = {}
+    for N in (16, 32, 64):
+        p = HeatControlProblem(ProblemConfig(N_x=N, N_t=N))
+        sm = p.solve(SolverConfig(method="minres", rtol=1e-10, maxiter=200))
+        sw = p.solve(SolverConfig(method="woodbury"))
+        assert bool(sm.result.converged)
+        np.testing.assert_allclose(np.asarray(sm.u), np.asarray(sw.u), atol=1e-12)
+        iters[N] = int(sm.result.iterations)
+    assert max(iters.values()) <= 8, iters
+    assert max(iters.values()) - min(iters.values()) <= 1, iters
+
+    # 2D consistent mass: exact symmetry, tensor-surrogate SPD PC
+    p = HeatControlProblem(ProblemConfig(N_x=12, N_t=8, dim=2, mass="consistent"))
+    sm = p.solve(SolverConfig(method="minres", rtol=1e-8, maxiter=300))
+    assert bool(sm.result.converged)
+    assert int(sm.result.iterations) <= 15
+    assert p.relative_residual(sm) < 1e-7
