@@ -650,10 +650,10 @@ def main():
             write_suite()
             guard("heat_woodbury", stage_heat, est_s=90)
             write_suite()
-            # est 800: the blockband scan program's cold compile measured
-            # ~700 s on the relay (artifacts/experiments/tpu_bench_r3.md);
-            # the stage only runs when the budget truly has that headroom.
-            guard("unstructured_blockband", stage_unstructured, est_s=800)
+            # est 150: measured 105 s on the relay once the factor tensors
+            # ship as executable parameters instead of embedded constants
+            # (was ~774 s with constant-folding; tpu_bench_r3.md).
+            guard("unstructured_blockband", stage_unstructured, est_s=150)
         except Exception as exc:  # noqa: BLE001  (headline already printed)
             suite["suite_error"] = f"{type(exc).__name__}: {exc}"[:400]
 

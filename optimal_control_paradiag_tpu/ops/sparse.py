@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimal_control_paradiag_tpu.utils.constants import host_const
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,9 +37,10 @@ class CSRMatrix:
     indices: np.ndarray  # (nnz,) int32
     data: np.ndarray  # (nnz,) float
 
-    # ELL apply data (host constants; jit embeds them).
+    # ELL apply data. ell_cols stays a (small, int) host constant; ell_vals
+    # is a DEVICE array so compiled programs take it as a parameter.
     ell_cols: np.ndarray  # (n_rows, width) int32, padded with 0
-    ell_vals: np.ndarray  # (n_rows, width), padded with 0.0
+    ell_vals: jnp.ndarray  # (n_rows, width), padded with 0.0
 
     @property
     def nnz(self) -> int:
@@ -112,7 +113,12 @@ def csr_from_parts(shape, indptr, indices, data, dtype=None) -> CSRMatrix:
         lo, hi = indptr[i], indptr[i + 1]
         ell_cols[i, : hi - lo] = indices[lo:hi]
         ell_vals[i, : hi - lo] = data[lo:hi]
-    canon = host_const(ell_vals, data.dtype)
+    # ELL values are the one large per-matrix array on the apply path: ship
+    # them as a device array so they lower as a compiled-executable
+    # PARAMETER -- as an embedded numpy constant XLA constant-folds its
+    # layout transposes at compile time and the compile RPC carries the
+    # bytes (measured on the axon relay, see paradiag/blockband.py).
+    canon = to_device(host_const(ell_vals, data.dtype), data.dtype)
     return CSRMatrix(
         shape=tuple(shape),
         indptr=indptr,

@@ -49,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
-from optimal_control_paradiag_tpu.utils.constants import host_const
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
 
 
 def _csr_coo(csr) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -153,13 +153,19 @@ def build_blockband_solver(op) -> Callable[[jnp.ndarray], jnp.ndarray]:
     for j in range(1, L):
         G[j] = np.linalg.inv(A[j] - B[j] @ G[j - 1] @ C[j - 1])
 
-    Gr = host_const(G.real, rdtype)
-    Gi = host_const(G.imag, rdtype)
+    # The factor tensors are LARGE (L * hk * (2m)^2); ship them as device
+    # arrays (to_device) so they lower as compiled-executable PARAMETERS.
+    # As embedded numpy constants (host_const) XLA constant-folds their
+    # layout transposes at compile time and the program carries them in the
+    # compile RPC -- measured ~700 s cold compile on the axon relay for the
+    # N=32 bench stage; parameters avoid both.
+    Gr = to_device(G.real, rdtype)
+    Gi = to_device(G.imag, rdtype)
     # Real level blocks (shared across modes) for matrix-free off-block apply.
-    Msr = host_const(Ms, rdtype)
-    Ksr = host_const(Ks, rdtype)
-    Mur = host_const(Mu, rdtype)
-    Kur = host_const(Ku, rdtype)
+    Msr = to_device(Ms, rdtype)
+    Ksr = to_device(Ks, rdtype)
+    Mur = to_device(Mu, rdtype)
+    Kur = to_device(Ku, rdtype)
     L1d = host_const(L1[:, None], cdtype)
     L2d = host_const(L2[:, None], cdtype)
     L1cd = host_const(np.conj(L1)[:, None], cdtype)

@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
-from optimal_control_paradiag_tpu.utils.constants import host_const
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
 
 
 def blockline_entries(N_t: int, n1d: int) -> int:
@@ -111,8 +111,11 @@ def build_blockline_solver(op) -> Callable[[jnp.ndarray], jnp.ndarray]:
     for j in range(1, m):
         G[j] = np.linalg.inv(A - B @ G[j - 1] @ C)
 
-    Gr = host_const(G.real, rdtype)
-    Gi = host_const(G.imag, rdtype)
+    # Ship the large factor tensors as device arrays (compiled-executable
+    # parameters) -- embedded numpy constants get constant-folded and carried
+    # in the compile RPC (see paradiag/blockband.py, measured on the relay).
+    Gr = to_device(G.real, rdtype)
+    Gi = to_device(G.imag, rdtype)
     L1d = host_const(L1[:, None], cdtype)
     L2d = host_const(L2[:, None], cdtype)
     L1cd = host_const(np.conj(L1)[:, None], cdtype)
