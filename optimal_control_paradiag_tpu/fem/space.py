@@ -223,14 +223,17 @@ class P1Space:
     # -------------------------------------------------------- sine transform
 
     @functools.cached_property
-    def dst_matrix(self) -> np.ndarray:
+    def dst_matrix(self) -> jnp.ndarray:
         """Symmetric DST-I matrix ``V[i,j] = sin((i+1)(j+1)pi/N_x)``;
-        ``V @ V = (N_x/2) I``. Kept as a host (numpy) constant: jit embeds it
-        in the compiled program, avoiding eager device ops entirely (the TPU
-        backend only lowers compiled programs)."""
+        ``V @ V = (N_x/2) I``. Built in numpy (no eager device math -- the
+        TPU backend only lowers compiled programs) and transferred ONCE: as
+        a device array it lowers as a compiled-executable PARAMETER, so the
+        n1d^2 matrix (16.8 MB f32 at the headline size) is neither
+        constant-folded at compile time nor carried in the compile RPC
+        (see paradiag/blockband.py for the measured cost of embedding)."""
         i = np.arange(1, self.N_x)
         V = np.sin(np.pi * np.outer(i, i) / self.N_x)
-        return host_const(V, self.dtype)
+        return to_device(host_const(V, self.dtype), self.dtype)
 
     @property
     def _use_fft_dst(self) -> bool:

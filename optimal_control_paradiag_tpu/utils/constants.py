@@ -28,8 +28,15 @@ def host_const(x, dtype) -> np.ndarray:
 def to_device(x, dtype) -> jnp.ndarray:
     """Convert ``x`` to ``dtype`` in numpy, then transfer -- never triggers an
     eager on-device cast. The dtype is canonicalized first (float64 -> float32
-    when x64 is disabled), so the transfer is always a pure byte copy."""
+    when x64 is disabled), so the transfer is always a pure byte copy.
+
+    The result is ALWAYS a concrete device array, even when called during a
+    jit trace (``ensure_compile_time_eval``): lazily-built setup constants
+    (e.g. cached properties first touched inside a traced solve) must never
+    cache a tracer, and large constants deliberately lower as
+    compiled-executable parameters rather than embedded constants."""
     import jax
 
     canonical = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
-    return jnp.asarray(np.asarray(x, dtype=canonical))
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(np.asarray(x, dtype=canonical))
