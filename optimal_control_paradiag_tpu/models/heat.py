@@ -196,6 +196,35 @@ class HeatControlProblem:
         det = np.abs(a11) ** 2 + tm * tm
         return L1, muM, muK, a11, tm, det
 
+    def _capacity_2x2(self, mass_surrogate: bool = False) -> np.ndarray:
+        """Per-wavenumber REAL 2x2 SMW capacity matrices
+        ``G = (I + C W)^{-1} C`` (float64 host math): ``W = Phi* D^{-1} Psi``
+        with the rank-2 extraction/injection phases, ``C = diag(muM)``.
+        Realness follows from the Hermitian k <-> N_t-k pairing (asserted)."""
+        N_t = self.config.N_t
+        _, muM64, _, a11_h, tm_h, det_h = self._plan(mass_surrogate=mass_surrogate)
+        kf = np.arange(N_t)
+        phiE = lambda i: np.exp(-2j * np.pi * i * kf / N_t)
+        psiI = lambda i: np.exp(2j * np.pi * i * kf / N_t) / N_t
+        iuu = np.conj(a11_h) / det_h
+        iup = tm_h / det_h + 0j  # D^{-1}[u,p] = +tm/det
+        ipu = -tm_h / det_h + 0j
+        ipp = a11_h / det_h
+        rows = [("u", phiE(N_t - 1)), ("p", phiE(0))]
+        cols = [("u", psiI(0)), ("p", psiI(N_t - 1))]
+        E = {("u", "u"): iuu, ("u", "p"): iup, ("p", "u"): ipu, ("p", "p"): ipp}
+        n = self.space.n
+        W = np.zeros((n, 2, 2), np.complex128)
+        for a, (ca, pa) in enumerate(rows):
+            for b, (cb, pb) in enumerate(cols):
+                W[:, a, b] = np.einsum("k,kn,k->n", pa, E[(ca, cb)], pb)
+        C = np.zeros((n, 2, 2), np.float64)
+        C[:, 0, 0] = muM64
+        C[:, 1, 1] = muM64
+        G_h = np.linalg.solve(np.eye(2)[None] + C @ W, C.astype(np.complex128))
+        assert float(np.abs(G_h.imag).max()) < 1e-9 * max(float(np.abs(G_h.real).max()), 1.0)
+        return G_h.real
+
     def build_woodbury_solver(
         self,
         refine: int = 1,
@@ -238,28 +267,8 @@ class HeatControlProblem:
         phi_uN, phi_p1 = phiw(N_t - 1), phiw(0)
         psi_u1, psi_pN = psi(0), psi(N_t - 1)
 
-        # 2x2 capacity per wavenumber: W = Phi* D^{-1} Psi, C = diag(muM).
-        kf = np.arange(N_t)
-        phiE = lambda i: np.exp(-2j * np.pi * i * kf / N_t)
-        psiI = lambda i: np.exp(2j * np.pi * i * kf / N_t) / N_t
-        iuu = np.conj(a11_h) / det_h
-        iup = tm_h / det_h + 0j  # D^{-1}[u,p] = +tm/det
-        ipu = -tm_h / det_h + 0j
-        ipp = a11_h / det_h
-        rows = [("u", phiE(N_t - 1)), ("p", phiE(0))]
-        cols = [("u", psiI(0)), ("p", psiI(N_t - 1))]
-        E = {("u", "u"): iuu, ("u", "p"): iup, ("p", "u"): ipu, ("p", "p"): ipp}
-        n = sp.n
-        W = np.zeros((n, 2, 2), np.complex128)
-        for a, (ca, pa) in enumerate(rows):
-            for b, (cb, pb) in enumerate(cols):
-                W[:, a, b] = np.einsum("k,kn,k->n", pa, E[(ca, cb)], pb)
-        C = np.zeros((n, 2, 2), np.float64)
-        C[:, 0, 0] = muM64
-        C[:, 1, 1] = muM64
-        G_h = np.linalg.solve(np.eye(2)[None] + C @ W, C.astype(np.complex128))
-        assert float(np.abs(G_h.imag).max()) < 1e-9 * max(float(np.abs(G_h.real).max()), 1.0)
-        G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(2)] for a in range(2)]
+        G_h = self._capacity_2x2(mass_surrogate=mass_surrogate)
+        G = [[host_const(G_h[:, a, b], rdtype) for b in range(2)] for a in range(2)]
 
         # Traced per-(mode, wavenumber) diagonal from 1D factors: a11 is the
         # outer product L1 (x) muM plus the broadcast tau * muK -- built
@@ -403,7 +412,20 @@ class HeatControlProblem:
         if key not in self._cache:
             if solver.method == "woodbury":
                 if self.space.diagonalizable:
-                    wb = jax.jit(self.build_woodbury_solver(refine=solver.refine))
+                    if solver.use_pallas:
+                        from optimal_control_paradiag_tpu.paradiag.pallas_heat import (
+                            build_pallas_heat_solver,
+                        )
+
+                        wb = jax.jit(
+                            build_pallas_heat_solver(
+                                self,
+                                refine=solver.refine,
+                                interpret=jax.default_backend() == "cpu",
+                            )
+                        )
+                    else:
+                        wb = jax.jit(self.build_woodbury_solver(refine=solver.refine))
                     self._cache[key] = lambda b: (wb(b), None)
                 else:
                     f64 = jnp.dtype(self.config.dtype).itemsize == 8

@@ -176,3 +176,15 @@ def test_symmetrized_minres():
     assert bool(sm.result.converged)
     assert int(sm.result.iterations) <= 15
     assert p.relative_residual(sm) < 1e-7
+
+
+def test_pallas_kernel_matches_jnp(monkeypatch):
+    """The fused rank-2 Pallas kernel (interpret mode on CPU) agrees with
+    the jnp SMW path to rounding, refine 0 and 1, even and odd N_t."""
+    for N_t in (8, 9):
+        prob = HeatControlProblem(ProblemConfig(N_x=17, N_t=N_t))
+        for refine in (0, 1):
+            sp = prob.solve(SolverConfig(method="woodbury", refine=refine, use_pallas=True))
+            sj = prob.solve(SolverConfig(method="woodbury", refine=refine))
+            np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sj.u), atol=1e-11)
+            np.testing.assert_allclose(np.asarray(sp.p), np.asarray(sj.p), atol=1e-11)
