@@ -40,7 +40,7 @@ from optimal_control_paradiag_tpu.paradiag.spectral import (
     _capacity_matrices,
     _spectral_plan,
 )
-from optimal_control_paradiag_tpu.utils.constants import host_const
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
 
 TILE = 128
 
@@ -166,10 +166,13 @@ def build_pallas_woodbury_solver(
         out[:, : a2d.shape[1]] = a2d
         return out
 
-    a11r = host_const(padded(a11_h.real), rdtype)
-    a11i = host_const(padded(a11_h.imag), rdtype)
+    # Large (K, n_pad) constants ship as device arrays -> compiled-executable
+    # parameters (utils/constants.py policy; embedding measured costly on the
+    # relay, see paradiag/blockband.py).
+    a11r = to_device(padded(a11_h.real), rdtype)
+    a11i = to_device(padded(a11_h.imag), rdtype)
     # padded det=1 avoids 0-division garbage in the dead columns
-    invdet = host_const(padded(1.0 / det_h, fill=1.0), rdtype)
+    invdet = to_device(padded(1.0 / det_h, fill=1.0), rdtype)
 
     colc = np.zeros((8, n_pad))
     colc[0, :n] = muM
