@@ -162,6 +162,30 @@ def efficiency_model(case, d, bw_ici_GBs=180.0, hbm_GBs=819.0):
     }
 
 
+def run_heat_case(N_x, N_t, d, measure=True):
+    """Second model family: the sharded rank-2 heat SMW direct solve --
+    same collective accounting as the wave case."""
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
+    from optimal_control_paradiag_tpu.parallel.solve import make_sharded_heat_solver
+
+    prob = HeatControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dtype=jnp.float32))
+    layout = make_layout(d, 1, jax.devices()[:d])
+    run, sharding = make_sharded_heat_solver(prob, SolverConfig(method="woodbury"), layout)
+    b = jax.device_put(prob.rhs, sharding) if sharding is not None else prob.rhs
+    txt = jax.jit(lambda bb: run(bb)[0]).lower(b).compile().as_text()
+    out = {
+        "model": "heat",
+        "N_x": N_x,
+        "N_t": N_t,
+        "devices": d,
+        "state_bytes": 2 * N_t * (N_x - 1) * 4,
+        "collectives": collective_bytes(txt),
+    }
+    if measure:
+        out["ms_per_solve"] = round(timed(run, b, chain=3, reps=3) * 1e3, 2)
+    return out
+
+
 def main():
     out = {"note": __doc__.split("\n")[0], "strong": [], "weak": [], "model": {}}
 
@@ -186,6 +210,17 @@ def main():
     case["model_v5e"] = efficiency_model(case, 8)
     out["model"]["headline_nx2048_nt1024_d8"] = case
     print("model", json.dumps(case))
+
+    # Second model family: the sharded heat solve's collective schedule at
+    # the same sizes (correctness pinned in tests/test_parallel.py; the
+    # rank-2 pipeline shares the wave's stage layouts, so the expectation
+    # is the same all-to-all-only schedule -- verified here by count).
+    case = run_heat_case(N_x=257, N_t=64, d=8)
+    out["model"]["heat_nx257_nt64_d8"] = case
+    print("heat", json.dumps(case))
+    case = run_heat_case(N_x=2048, N_t=1024, d=8, measure=False)
+    out["model"]["heat_nx2048_nt1024_d8"] = case
+    print("heat", json.dumps(case))
 
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
