@@ -388,24 +388,48 @@ def stage_heat():
         rel_v = prob.relative_residual_f64(HeatSolution(u=x[0] / s, p=x[1], result=None))
         ms_v = _chain_time(wb, b, chain=20, reps=REPS) * 1e3
         variants[name] = {"rel_f64": rel_v, "ms_per_solve": round(ms_v, 3)}
-    which = min(variants, key=lambda v: variants[v]["ms_per_solve"])
-    ms, rel = variants[which]["ms_per_solve"], variants[which]["rel_f64"]
     # The heat system's f32 REPRESENTATION floor at this size is 1.12e-2
     # (merely rounding the exact f64 solution to f32 leaves that residual:
     # b scales like tau*h while the operator's stiff modes scale like
     # tau/h -- measured in artifacts/experiments/heat_floor_experiment.py);
-    # the f32 SMW solve must land within ~2x of it.
+    # the f32 SMW solve must land within ~2x of it. Gate first, THEN pick
+    # the fastest survivor (a fast-but-inaccurate variant must not mask an
+    # accurate slower one).
     floor = 1.12e-2
+    passing = {v: r for v, r in variants.items() if r["rel_f64"] <= 2.0 * floor}
+    pool = passing or variants
+    which = min(pool, key=lambda v: pool[v]["ms_per_solve"])
+    ms, rel = variants[which]["ms_per_solve"], variants[which]["rel_f64"]
+    # Accuracy ladder (VERDICT r3 item 2): one physical-space polish pass with
+    # the cancellation-aware matvec, solution kept as a two-float (dword)
+    # pair -- true residual orders below the f32 representation floor
+    # (reference parity in kind with its complex128 pipeline,
+    # Control_Wave_PC.py:372). Gate: dword rel_f64 <= 1e-6 (measured 5.6e-8
+    # on CPU at this size).
+    pol = jax.jit(prob.build_polished_solver(polish=1, dword=True))
+    xe = pol(b)
+    jax.block_until_ready(xe)
+    import numpy as np
+
+    xs = np.asarray(xe[0], np.float64) + np.asarray(xe[1], np.float64)
+    bb = np.asarray(b, np.float64)
+    rr = prob.matvec_host_f64(xs) - bb
+    rel_dword = float(np.linalg.norm(rr.ravel()) / np.linalg.norm(bb.ravel()))
+    ms_pol = _chain_time(lambda bb_: pol(bb_)[0], b, chain=10, reps=REPS) * 1e3
     out = {
         "n_dofs": 2 * N_T * prob.space.n,
         "variant": which,
         "rel_f64": rel,
         "f32_floor_cpu_measured": floor,
         "ms_per_solve": round(ms, 3),
+        "rel_f64_dword": rel_dword,
+        "ms_per_solve_polished_dword": round(ms_pol, 3),
         "variants": variants,
     }
     if rel > 2.0 * floor:
         out["gate_failed"] = f"heat rel {rel:.3e} > 2x f32 floor"
+    if rel_dword > 1e-6:
+        out["gate_failed_dword"] = f"heat dword rel {rel_dword:.3e} > 1e-6"
     return out
 
 

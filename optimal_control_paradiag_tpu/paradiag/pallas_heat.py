@@ -156,7 +156,9 @@ def build_pallas_heat_solver(
     colc[3, :n] = G_h[:, 0, 1]
     colc[4, :n] = G_h[:, 1, 0]
     colc[5, :n] = G_h[:, 1, 1]
-    colc = host_const(colc, rdtype)
+    # O(n) per-space constant: shipped as a device array like a11r/invdet so
+    # large spaces (2D lumped: n = (N_x-1)^2) never embed it in the program.
+    colc = to_device(colc, rdtype)
 
     k = np.arange(K)
     wgt = np.full(K, 2.0)

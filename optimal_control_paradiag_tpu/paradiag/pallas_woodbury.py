@@ -179,7 +179,9 @@ def build_pallas_woodbury_solver(
     colc[1, :n] = plan.c * muK
     colc[2, :n] = plan.theta * muM
     colc[3, :n] = muM + plan.c * muK
-    colc = host_const(colc, rdtype)
+    # O(n) per-space constants ship as device arrays (same policy as
+    # a11r/invdet) so large spaces never embed them in the program.
+    colc = to_device(colc, rdtype)
 
     G_h = _capacity_matrices(plan)
     assert float(np.abs(G_h.imag).max()) < 1e-10 * max(float(np.abs(G_h.real).max()), 1.0)
@@ -187,7 +189,7 @@ def build_pallas_woodbury_solver(
     for a in range(4):
         for b_ in range(4):
             gc[4 * a + b_, :n] = G_h[:, a, b_].real
-    gc = host_const(gc, rdtype)
+    gc = to_device(gc, rdtype)
 
     k = np.arange(K)
     wgt = np.full(K, 2.0)

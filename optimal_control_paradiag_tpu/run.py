@@ -30,7 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="model family: the reference's wave control problem, or the "
         "backward-Euler heat control problem (models/heat.py)",
     )
-    p.add_argument("--nx", type=int, default=80, help="spatial elements (ref default 80)")
+    p.add_argument(
+        "--nx",
+        type=int,
+        default=None,
+        help="spatial elements (default 80, the reference's; the heat tau-sweep "
+        "defaults to 128 so the spatial error stays subdominant)",
+    )
     p.add_argument("--nt", type=int, default=81, help="time slices (ref default 81)")
     p.add_argument("--T", type=float, default=2.0)
     p.add_argument("--gamma", type=float, default=1.0)
@@ -83,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.mesh and args.sweep:
+        raise SystemExit(
+            "--mesh and --sweep cannot be combined (the sweep runs many "
+            "problem sizes that would each need their own sharded program); "
+            "run the sweep unsharded, or single sizes with --mesh"
+        )
+    # --nx default resolution: None means "not given" so per-mode defaults
+    # (wave: 80, heat sweep: 128) never collide with an explicit value.
+    if args.nx is None and not (args.model == "heat" and args.sweep):
+        args.nx = 80
     import jax
 
     platform = args.platform
@@ -241,14 +257,15 @@ def run_heat(args, dtype, solver):
 
     if args.sweep:
         Nts = [8, 16, 32, 64, 128]
+        nx = args.nx if args.nx is not None else 128
         errors, iters = [], []
         for N_t in Nts:
             prob = HeatControlProblem(
-                ProblemConfig(N_x=args.nx if args.nx != 80 else 128, N_t=N_t, T=args.T,
+                ProblemConfig(N_x=nx, N_t=N_t, T=args.T,
                               gamma=args.gamma, dim=args.dim, mass=args.mass, dtype=dtype)
             )
             sol = prob.solve(solver)
-            errors.append(prob.error_vs_analytic(sol) if args.dim == 1 else float("nan"))
+            errors.append(prob.error_vs_analytic(sol))
             iters.append(int(sol.result.iterations) if sol.result is not None else 0)
             print(f"N_t={N_t:4d} iters={iters[-1]:3d} e={errors[-1]:.6e}")
         np.savetxt(os.path.join(args.out, "error.out"), np.asarray(errors))
@@ -274,7 +291,7 @@ def run_heat(args, dtype, solver):
         "config": {k: str(v) for k, v in vars(args).items()},
         "iterations": int(sol.result.iterations) if sol.result is not None else None,
         "relative_residual": prob.relative_residual(sol),
-        "error_vs_analytic": prob.error_vs_analytic(sol) if args.dim == 1 else None,
+        "error_vs_analytic": prob.error_vs_analytic(sol),
         "timings_ms": {k: v * 1000 for k, v in timer.records.items()},
     }
     print(json.dumps(record, indent=2))

@@ -178,6 +178,61 @@ def test_symmetrized_minres():
     assert p.relative_residual(sm) < 1e-7
 
 
+def test_polish_ladder_f32():
+    """The wave family's accuracy ladder wired into heat (VERDICT r3 item 2):
+    plain f32 SMW stops at the representation floor; one physical-space
+    polish pass with the cancellation-aware matvec + dword two-float pair
+    lands the f64-oracle residual orders below it."""
+    prob = HeatControlProblem(ProblemConfig(N_x=256, N_t=128, dtype=jnp.float32))
+    b = prob.rhs
+    wb = jax.jit(prob.build_woodbury_solver(refine=1))
+    x = wb(b)
+    bb = np.asarray(b, np.float64)
+
+    def rel(xs):
+        r = prob.matvec_host_f64(xs) - bb
+        return float(np.linalg.norm(r.ravel()) / np.linalg.norm(bb.ravel()))
+
+    rel_plain = rel(np.asarray(x, np.float64))
+    assert rel_plain < 5e-3  # the f32 floor at this size
+
+    pol = jax.jit(prob.build_polished_solver(polish=1, dword=True))
+    xe = pol(b)
+    xs = np.asarray(xe[0], np.float64) + np.asarray(xe[1], np.float64)
+    rel_dword = rel(xs)
+    assert rel_dword < 1e-6, (rel_plain, rel_dword)
+    assert rel_dword < rel_plain / 50
+
+    # solve() dispatch honours polish (single-float result: on the floor)
+    sol = prob.solve(SolverConfig(method="woodbury", polish=1))
+    assert rel(np.stack([np.asarray(sol.u, np.float64), np.asarray(sol.p, np.float64)])) <= rel_plain * 1.5
+
+
+def test_2d_manufactured_convergence():
+    """2D validation (VERDICT r3 item 3): the separable product-sine
+    manufactured solution gives a REAL error metric for dim=2 -- error halves
+    per tau-halving at fixed N_x, like the 1D study."""
+    errs = {}
+    for N_t in (8, 16, 32):
+        prob = HeatControlProblem(ProblemConfig(N_x=64, N_t=N_t, dim=2, mass="lumped"))
+        sol = prob.solve(SolverConfig(method="woodbury"))
+        errs[N_t] = prob.error_vs_analytic(sol)
+    r1 = errs[8] / errs[16]
+    r2 = errs[16] / errs[32]
+    assert 1.5 < r1 < 2.6, errs
+    assert 1.5 < r2 < 2.6, errs
+    # consistent mass reaches the same manufactured solution (tensor-PC
+    # path); at this coarse h the lumped-mass O(h^2) term still contributes,
+    # so check same-order agreement (consistent is the more accurate one)
+    prob = HeatControlProblem(ProblemConfig(N_x=24, N_t=16, dim=2, mass="consistent"))
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    lump = HeatControlProblem(ProblemConfig(N_x=24, N_t=16, dim=2, mass="lumped"))
+    sol_l = lump.solve(SolverConfig(method="woodbury"))
+    e_c, e_l = prob.error_vs_analytic(sol), lump.error_vs_analytic(sol_l)
+    assert e_c <= 1.2 * e_l, (e_c, e_l)
+    assert e_l / 3.0 < e_c < 3.0 * e_l, (e_c, e_l)
+
+
 def test_pallas_kernel_matches_jnp(monkeypatch):
     """The fused rank-2 Pallas kernel (interpret mode on CPU) agrees with
     the jnp SMW path to rounding, refine 0 and 1, even and odd N_t."""
