@@ -22,6 +22,7 @@ exact -- the MUMPS analogue) or Jacobi-preconditioned batched COCG
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
@@ -108,6 +109,63 @@ class GeneralP1Space:
 
     def apply_stiffness(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.K_csr.spmv(x)
+
+    @functools.cached_property
+    def _element_grad_data(self):
+        """Per-triangle P1 gradient factors ``(b, c, inv4A, idx)`` for the
+        element-form stiffness: ``K_e = (b b^T + c c^T) / (4 A)`` with
+        ``b_i = y_j - y_k``, ``c_i = x_k - x_j`` (cyclic), orientation-safe
+        (flipping a triangle negates b AND c, leaving every product
+        invariant; the area enters as ``|A|``). ``idx`` maps triangle
+        vertices to interior slots, boundary vertices to the zero ghost slot
+        ``n``."""
+        pts, tris = self.points, self.triangles
+        x, y = pts[:, 0], pts[:, 1]
+        i0, i1, i2 = tris[:, 0], tris[:, 1], tris[:, 2]
+        b = np.stack([y[i1] - y[i2], y[i2] - y[i0], y[i0] - y[i1]], axis=1)
+        c = np.stack([x[i2] - x[i1], x[i0] - x[i2], x[i1] - x[i0]], axis=1)
+        twoA = (x[i1] - x[i0]) * (y[i2] - y[i0]) - (x[i2] - x[i0]) * (y[i1] - y[i0])
+        inv4A = 1.0 / (2.0 * np.abs(twoA))
+        slot = np.full(pts.shape[0], self.n, np.int32)
+        slot[np.flatnonzero(self.interior)] = np.arange(self.n, dtype=np.int32)
+        idx = slot[tris].astype(np.int32)
+        dt = self.dtype
+        return (
+            host_const(b, dt),
+            host_const(c, dt),
+            host_const(inv4A, dt),
+            host_const(idx, jnp.int32),
+        )
+
+    def apply_stiffness_nested(self, x: jnp.ndarray) -> jnp.ndarray:
+        """K @ x in cancellation-aware ELEMENT form -- the unstructured
+        analogue of :meth:`fem.space.P1Space.apply_stiffness_nested` (VERDICT
+        r3: the f32 physical-matvec cancellation had no unstructured escape).
+
+        The CSR form sums O(1)-size products that cancel to the O(h^2)
+        answer on smooth fields, so its float32 rounding noise is amplified
+        by ~1/h^2. Here each element gradient is built from EXACT adjacent-
+        value differences ``u_j - u_0`` (Sterbenz) scaled by geometry
+        factors, and only the final per-node scatter carries one O(h) ->
+        O(h^2) cancellation level -- noise amplification ~1/h instead.
+        Algebraically identical to :meth:`apply_stiffness` (pinned to 1e-12
+        in tests/test_general.py); used by the accurate matvec
+        (``AllAtOnceOperator.matvec_accurate``) and hence by f32 outer GMRES
+        and the polish ladder on general meshes."""
+        b, c, inv4A, idx = self._element_grad_data
+        zeros = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+        x_ext = jnp.concatenate([x, zeros], axis=-1)
+        g = jnp.take(x_ext, idx.reshape(-1), axis=-1).reshape(x.shape[:-1] + idx.shape)
+        d1 = g[..., 1] - g[..., 0]
+        d2 = g[..., 2] - g[..., 0]
+        wx = (b[:, 1] * d1 + b[:, 2] * d2) * inv4A
+        wy = (c[:, 1] * d1 + c[:, 2] * d2) * inv4A
+        contrib = b * wx[..., None] + c * wy[..., None]  # (..., n_tri, 3)
+        out = jnp.zeros(x.shape[:-1] + (self.n + 1,), x.dtype)
+        out = out.at[..., idx.reshape(-1)].add(
+            contrib.reshape(contrib.shape[:-2] + (-1,))
+        )
+        return out[..., : self.n]
 
     def apply_mass_host_f64(self, x: np.ndarray) -> np.ndarray:
         """Float64 numpy twin of :meth:`apply_mass` (residual oracle)."""

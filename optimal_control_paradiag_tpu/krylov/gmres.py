@@ -21,11 +21,42 @@ TPU-first design choices:
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Krylov-basis memory budget (bytes) for the auto restart clamp. The padded
+# basis V is (restart+1, *state) -- at the f32 headline size (2, 1024, 2047)
+# the CLI-default restart=300 would allocate ~4.8 GB, an accidental OOM trap
+# on a 16 GB chip once the PC and transforms claim their share (VERDICT r3
+# item 6). Override with PARADIAG_GMRES_BASIS_BUDGET.
+_BASIS_BUDGET_BYTES = int(
+    float(os.environ.get("PARADIAG_GMRES_BASIS_BUDGET", 4e9))
+)
+
+
+def clamp_restart(restart: int, shape, dtype, maxiter: int) -> int:
+    """Largest restart (<= the requested one, >= 4) whose padded Krylov basis
+    ``(restart+1, *shape)`` fits the budget; warns when it clamps."""
+    import numpy as np
+
+    restart = min(restart, maxiter)
+    state_bytes = int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+    fit = max(4, _BASIS_BUDGET_BYTES // max(state_bytes, 1) - 1)
+    if restart > fit:
+        warnings.warn(
+            f"GMRES restart {restart} needs a {(restart + 1) * state_bytes / 1e9:.1f} GB "
+            f"Krylov basis for state shape {tuple(shape)}; clamping to {fit} "
+            f"(budget {_BASIS_BUDGET_BYTES / 1e9:.1f} GB, override with "
+            "PARADIAG_GMRES_BASIS_BUDGET)",
+            stacklevel=3,
+        )
+        return int(fit)
+    return restart
 
 
 class GmresResult(NamedTuple):
@@ -93,7 +124,7 @@ def gmres(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    restart = min(restart, maxiter)
+    restart = clamp_restart(restart, shape, dtype, maxiter)
     _BLK = min(16, restart + 1)
     _NBLK = -(-(restart + 1) // _BLK)
 

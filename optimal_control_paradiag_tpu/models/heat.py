@@ -403,7 +403,7 @@ class HeatControlProblem:
 
         return solve
 
-    def build_symmetric_system(self):
+    def build_symmetric_system(self, layout=None, time_transform: Optional[str] = None):
         """``(matvec_sym, pc_spd, swap)`` -- the wave family's symmetrized
         ParaDiag (paradiag/symmetric.py) generalized to the heat KKT system:
         swapping the (u, p) block rows gives
@@ -418,13 +418,28 @@ class HeatControlProblem:
         symbols -- so the SPD absolute-value preconditioner is the scalar
         ``T^{-1} det^{-1/2} T``. 2D consistent mass substitutes the
         tensor-part surrogate spectrum in the preconditioner only (matvec
-        and symmetry stay exact)."""
+        and symmetry stay exact).
+
+        ``layout`` (a :class:`parallel.sharding.ParallelLayout`): multi-chip
+        sharded SPD preconditioner through the shared half-spectrum stage
+        pipeline (the scalar multiplier is elementwise, so it shards
+        trivially bin-local; requires the DFT-matmul time transform)."""
         sp = self.space
         N_t = self.config.N_t
         K = N_t // 2 + 1
         rdtype = self.config.dtype
         _, _, _, _, _, det_h = self._plan(mass_surrogate=not sp.diagonalizable)
         inv_sqrt_det = host_const(1.0 / np.sqrt(det_h[:K]), rdtype)
+        if time_transform is None:
+            time_transform = "dft" if layout is not None else "fft"
+
+        from optimal_control_paradiag_tpu.paradiag.spectral import (
+            make_halfspectrum_transforms,
+        )
+
+        to_s, from_s = make_halfspectrum_transforms(
+            sp, N_t, rdtype, layout=layout, time_transform=time_transform
+        )
 
         def swap(x):
             return jnp.stack([x[1], x[0]])
@@ -433,9 +448,9 @@ class HeatControlProblem:
             return swap(self.matvec(x))
 
         def pc_spd(r):
-            rh = jnp.fft.rfft(sp.dst(r), axis=1)
-            y = jnp.fft.irfft(rh * inv_sqrt_det, n=N_t, axis=1)
-            return sp.idst(y).astype(rdtype)
+            # T^{-1} det^{-1/2} T with the real multiplier commuting through
+            # the transforms' conjugation/scaling.
+            return from_s(to_s(r) * inv_sqrt_det)
 
         return matvec_sym, pc_spd, swap
 

@@ -124,13 +124,22 @@ class WaveControlProblem:
 
         if solver.method == "woodbury":
             if not self.space.diagonalizable:
-                # 2D consistent mass, direct-solve API. Default: GMRES
-                # preconditioned by the EXACT tensor-mass Woodbury direct
-                # solve -- mesh-independent (7-10 iterations at rtol 1e-10
-                # across N; paradiag/woodbury2d.py:build_tensor_gmres_solver)
-                # and free of the blockline memory wall. pc_variant=
-                # 'blockline' explicitly selects the SMW-over-block-Thomas
-                # alternative (kept as the factorization-based cross-check).
+                # Non-sine-diagonalizable spaces, direct-solve API.
+                # - Structured 2D consistent mass: GMRES preconditioned by
+                #   the EXACT tensor-mass Woodbury direct solve --
+                #   mesh-independent (7-10 iterations at rtol 1e-10 across
+                #   N; paradiag/woodbury2d.py:build_tensor_gmres_solver),
+                #   free of the blockline memory wall. pc_variant=
+                #   'blockline' explicitly selects the SMW-over-block-Thomas
+                #   alternative (the factorization-based cross-check).
+                # - UNSTRUCTURED meshes: GMRES preconditioned by the exact
+                #   generalized-EIGENBASIS Woodbury direct solve
+                #   (paradiag/eigbasis.py) -- 1 iteration with a float64
+                #   basis, a mesh-independent handful with the float32
+                #   device basis (vs 119-284 growing iterations for the
+                #   plain-circulant blockband PC at N_t=64). pc_variant=
+                #   'blockband' explicitly selects the SMW-over-blockband
+                #   capacity path (kept as the factorization cross-check).
                 from optimal_control_paradiag_tpu.paradiag.woodbury2d import (
                     build_tensor_gmres_solver,
                     build_woodbury2d_solver,
@@ -140,6 +149,15 @@ class WaveControlProblem:
                 tight = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
                 if solver.pc_variant == "blockline" and hasattr(self.space, "n1d"):
                     wb2 = build_woodbury2d_solver(op, cap_rtol=tight)
+                elif not hasattr(self.space, "n1d"):
+                    if solver.pc_variant == "blockband":
+                        wb2 = build_woodbury2d_solver(op, cap_rtol=tight)
+                    else:
+                        from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+                            build_eig_gmres_solver,
+                        )
+
+                        wb2 = build_eig_gmres_solver(op, rtol=tight)
                 else:
                     wb2 = build_tensor_gmres_solver(op, rtol=tight)
                 if solver.polish:
@@ -295,10 +313,21 @@ class WaveControlProblem:
                 )
             pc_apply = build_preconditioner(op, variant=variant, inner_solver=inner)
 
+        # Float32 on non-sine-diagonalizable spaces (2D consistent,
+        # unstructured CSR): physical GMRES iterates with op.matvec stall on
+        # the stencil's smooth-mode cancellation noise (measured 69 outer
+        # iterations on the perturbed-mesh problem, BENCH_r03) -- the
+        # cancellation-aware matvec restores the f64-grade iteration counts.
+        # Diagonalizable f32 problems are steered to method='spectral'/
+        # 'woodbury' instead (SolverConfig docstring), and f64 keeps the
+        # cheaper plain stencils.
+        f32 = jnp.dtype(self.config.dtype).itemsize == 4
+        mv = op.matvec_accurate if (f32 and not self.space.diagonalizable) else op.matvec
+
         @jax.jit
         def run(b, x0=None):
             res = gmres(
-                op.matvec,
+                mv,
                 b,
                 M=pc_apply,
                 x0=x0,

@@ -135,8 +135,10 @@ class AllAtOnceOperator:
         above), so one correction step lands the true (float64-oracle)
         residual on that floor -- and below it when the correction is kept
         as a two-float sum (see ``paradiag.spectral.build_polished_solver``).
-        Falls back to plain stencils on spaces without nested applications
-        (unstructured CSR)."""
+        Every space provides a nested stiffness (structured grids:
+        first-difference stencils; unstructured meshes: the element-gradient
+        form, ``GeneralP1Space.apply_stiffness_nested``); spaces without one
+        would fall back to plain stencils."""
         sp = self.space
         u, p = x[0], x[1]
         half_d2 = 0.5 * self.dt * self.dt

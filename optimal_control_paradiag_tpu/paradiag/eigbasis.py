@@ -1,0 +1,243 @@
+"""Generalized-eigenbasis ParaDiag: the DIRECT unstructured solve.
+
+The structured families solve the all-at-once system directly because the
+sine transform diagonalizes (M, K) simultaneously; general meshes have no
+fast transform, and every iterative route through the block-circulant part
+inherits the plain-circulant outlier growth of non-commuting (M, K)
+(measured on the perturbed-mesh problem at N_t = 64, rtol 1e-5:
+119 / 187 / 284 outer iterations for n = 529 / 961 / 2209 -- growing like
+``dt^2 lambda_max``; the unpreconditioned SMW capacity system is no better,
+150 iterations at n = 961, because its spectrum is the same boundary-
+correction outlier set. The reference's MUMPS inner solves would iterate
+identically: the outer operator is the algorithm's, not the solver's).
+
+The TPU-native escape generalizes the sine basis itself: compute the
+generalized eigendecomposition of the pencil ONCE,
+
+    K V = M V diag(lam),     V^T M V = I,
+
+and the whole exact spectral machinery (paradiag/spectral.py: per-mode
+2x2 Cramer, rank-4 SMW with closed-form 4x4 capacities) applies verbatim
+with ``(muM, muK) = (1, lam)`` -- a DIRECT solve, zero inner iterations.
+The residual-side transform is ``V^T`` and the solution-side transform is
+``V`` (they are mutual inverses only through M; the pipeline applies each
+exactly once per direction, matching its dst/idst call sites). On TPU both
+transforms are dense MXU matmuls -- the same shape as the matmul-DST the
+structured headline already runs; the one-time eigendecomposition is itself
+an MXU job (`jnp.linalg.eigh` after a Cholesky congruence).
+
+Accuracy: a float32 eigendecomposition is a ~1e-5-relative perturbation of
+the pencil, so the eig-Woodbury apply is the EXACT inverse of a nearby
+operator: used as a left preconditioner for outer GMRES on the true
+operator (with the cancellation-aware element-form matvec,
+``GeneralP1Space.apply_stiffness_nested``) it converges in a handful of
+mesh-independent iterations; in float64 the apply is direct to rounding.
+
+The reference meets the any-mesh capability only by factorizing with MUMPS
+(``Control_Wave_PC.py:480-484``), one triangular-solve pipeline per RHS;
+here setup is one eigh and every subsequent solve is a few dense matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
+
+
+def pencil_eig_host(M: np.ndarray, K: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(lam, V) of ``K V = M V diag(lam)`` with ``V^T M V = I``, float64 on
+    host via the Cholesky congruence (numpy-only; the small/test path)."""
+    M = np.asarray(M, np.float64)
+    K = np.asarray(K, np.float64)
+    L = np.linalg.cholesky(M)
+    X = np.linalg.solve(L, K)
+    S = np.linalg.solve(L, X.T).T
+    S = 0.5 * (S + S.T)
+    lam, Q = np.linalg.eigh(S)
+    V = np.linalg.solve(L.T, Q)
+    return lam, V
+
+
+def pencil_eig_device(M: np.ndarray, K: np.ndarray, dtype) -> Tuple[np.ndarray, jnp.ndarray]:
+    """(lam, V) computed ON DEVICE (one jitted program: Cholesky +
+    triangular congruence + ``jnp.linalg.eigh`` -- all MXU work). The
+    large-n path: at n = 2e4 the host float64 route costs tens of minutes
+    on 2 cores, the TPU float32 route minutes. Returns ``lam`` as float64
+    numpy (for the host capacity math) and ``V`` as a device array."""
+    Md = to_device(np.asarray(M, np.float64), dtype)
+    Kd = to_device(np.asarray(K, np.float64), dtype)
+
+    @jax.jit
+    def go(Mx, Kx):
+        L = jnp.linalg.cholesky(Mx)
+        X = jax.lax.linalg.triangular_solve(
+            L, Kx, left_side=True, lower=True, transpose_a=False
+        )
+        S = jax.lax.linalg.triangular_solve(
+            L, X.T, left_side=True, lower=True, transpose_a=False
+        ).T
+        S = 0.5 * (S + S.T)
+        lam, Q = jnp.linalg.eigh(S)
+        V = jax.lax.linalg.triangular_solve(
+            L, Q, left_side=True, lower=True, transpose_a=True
+        )
+        return lam, V
+
+    lam, V = go(Md, Kd)
+    return np.asarray(lam, np.float64), V
+
+
+@dataclasses.dataclass(frozen=True)
+class EigBasisSpace:
+    """Duck-typed diagonalizable 'space' over a general mesh: delegates the
+    physical operators to the underlying CSR space and supplies the
+    eigenbasis transforms + spectrum the spectral/Woodbury machinery needs
+    (``paradiag.spectral._spectral_plan`` consumes ``spectrum``/``dst``/
+    ``idst``/``dtype``; the residual-side transform is V^T, the
+    solution-side V -- see module docstring)."""
+
+    base: object  # GeneralP1Space (or any space with apply_mass/_stiffness)
+    lam: np.ndarray  # (n,) float64 generalized eigenvalues
+    V: jnp.ndarray  # (n, n) device array, columns M-orthonormal
+
+    @property
+    def dim(self) -> int:
+        return self.base.dim
+
+    @property
+    def n(self) -> int:
+        return self.base.n
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    diagonalizable: bool = True
+
+    @property
+    def spectrum(self):
+        ones = np.ones(self.base.n)
+        return (host_const(ones, self.dtype), host_const(self.lam, self.dtype))
+
+    # physical-side operators delegate to the true space
+    def apply_mass(self, x):
+        return self.base.apply_mass(x)
+
+    def apply_stiffness(self, x):
+        return self.base.apply_stiffness(x)
+
+    def apply_stiffness_nested(self, x):
+        return self.base.apply_stiffness_nested(x)
+
+    def apply_mass_host_f64(self, x):
+        return self.base.apply_mass_host_f64(x)
+
+    def apply_stiffness_host_f64(self, x):
+        return self.base.apply_stiffness_host_f64(x)
+
+    def interpolate(self, fn):
+        return self.base.interpolate(fn)
+
+    @property
+    def coords(self):
+        return self.base.coords
+
+    def _mm(self, x: jnp.ndarray, transpose: bool) -> jnp.ndarray:
+        eq = "...n,nj->...j" if transpose else "...j,nj->...n"
+        hi = jax.lax.Precision.HIGHEST
+        if jnp.iscomplexobj(x):
+            return jax.lax.complex(
+                jnp.einsum(eq, x.real, self.V, precision=hi),
+                jnp.einsum(eq, x.imag, self.V, precision=hi),
+            )
+        return jnp.einsum(eq, x, self.V, precision=hi)
+
+    def dst(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Residual-side transform ``V^T x`` (the eigenbasis analogue of the
+        sine transform on the dual side)."""
+        return self._mm(x, transpose=True)
+
+    def idst(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Solution-side transform ``V x``."""
+        return self._mm(x, transpose=False)
+
+
+def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
+    """Compute the pencil eigenbasis of a general space.
+
+    ``method``: 'host' (float64 numpy; exact-to-rounding, O(n^3) on 2 cores
+    -- the test/small path), 'device' (float32 TPU eigh; the at-scale path),
+    'auto' (host below n=1500, device above)."""
+    n = space.n
+    if method == "auto":
+        method = "host" if n <= 1500 else "device"
+    M = space.mass_dense()
+    K = space.stiffness_dense()
+    if method == "host":
+        lam, V = pencil_eig_host(M, K)
+        Vd = to_device(V, space.dtype)
+    elif method == "device":
+        lam, Vd = pencil_eig_device(M, K, space.dtype)
+    else:
+        raise ValueError(f"unknown eig method {method!r}")
+    return EigBasisSpace(base=space, lam=lam, V=Vd)
+
+
+def build_eig_woodbury_solver(
+    op: AllAtOnceOperator,
+    basis: Optional[EigBasisSpace] = None,
+    *,
+    refine: int = 1,
+    eig_method: str = "auto",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Direct solver ``b -> x`` for the all-at-once system on a GENERAL
+    mesh: the rank-4 half-spectrum Woodbury (paradiag/spectral.py) over the
+    pencil eigenbasis. Exact to the quality of the eigendecomposition
+    (float64 host basis: direct to rounding; float32 device basis: the
+    exact inverse of a ~1e-5-perturbed operator -- wrap in outer GMRES, see
+    :func:`build_eig_gmres_solver`)."""
+    from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
+
+    sp = op.space
+    if sp.diagonalizable:
+        raise ValueError("sine-diagonalizable space: use the spectral Woodbury directly")
+    if basis is None:
+        basis = build_eig_basis(sp, method=eig_method)
+    op_eig = dataclasses.replace(op, space=basis)
+    return build_woodbury_solver(op_eig, refine=refine)
+
+
+def build_eig_gmres_solver(
+    op: AllAtOnceOperator,
+    basis: Optional[EigBasisSpace] = None,
+    *,
+    rtol: float = 1e-10,
+    maxiter: int = 40,
+    eig_method: str = "auto",
+    with_result: bool = False,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Mesh-independent unstructured solve: GMRES on the TRUE operator
+    (cancellation-aware element-form matvec in float32) left-preconditioned
+    by the EXACT eig-Woodbury direct solve -- the unstructured twin of the
+    2D-consistent ``build_tensor_gmres_solver``. With a float64 host basis
+    the preconditioner is the exact inverse (1 iteration); with a float32
+    device basis the iteration count is set by the eigendecomposition
+    residual, a mesh-independent handful."""
+    from optimal_control_paradiag_tpu.krylov.gmres import gmres
+
+    W = build_eig_woodbury_solver(op, basis, refine=0, eig_method=eig_method)
+    f32 = jnp.dtype(op.space.dtype).itemsize == 4
+    mv = op.matvec_accurate if f32 else op.matvec
+
+    def solve(b: jnp.ndarray):
+        res = gmres(mv, b, M=W, restart=maxiter, rtol=rtol, maxiter=maxiter)
+        return (res.x, res) if with_result else res.x
+
+    return solve

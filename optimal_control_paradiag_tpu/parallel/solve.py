@@ -41,14 +41,68 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
     in_shardings = (state_sharding,) if even else None
 
     if solver.method == "woodbury":
+        import jax.numpy as jnp
+
         from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
 
-        wb = build_woodbury_solver(op, refine=solver.refine, layout=layout)
+        if op.space.diagonalizable:
+            wb = build_woodbury_solver(op, refine=solver.refine, layout=layout)
 
-        def run_wb(b):
-            return layout.canonical(wb(layout.canonical(b))), None
+            def run_wb(b):
+                return layout.canonical(wb(layout.canonical(b))), None
 
-        return jax.jit(run_wb, in_shardings=in_shardings), state_sharding
+            return jax.jit(run_wb, in_shardings=in_shardings), state_sharding
+
+        # 2D consistent mass: sharded tensor-PC GMRES (the direct-solve
+        # contract on non-diagonalizable structured spaces) -- GMRES on the
+        # physical operator preconditioned by the sharded EXACT tensor-mass
+        # surrogate Woodbury (paradiag/woodbury2d.py semantics under a
+        # layout; VERDICT r3 item 5/6: this path used to be unsharded-only).
+        from optimal_control_paradiag_tpu.paradiag.spectral import (
+            _build_woodbury_half,
+            _spectral_plan,
+        )
+
+        pl = _spectral_plan(op, mass_surrogate=True)
+        W_t = _build_woodbury_half(op, pl, refine=0, time_transform="dft", layout=layout)
+        f64 = jnp.dtype(op.space.dtype).itemsize == 8
+        rtol_t = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
+
+        def run_tensor(b):
+            res = gmres(
+                lambda x: layout.canonical(op.matvec(layout.canonical(x))),
+                layout.canonical(b),
+                M=lambda r: layout.canonical(W_t(r)),
+                restart=solver.restart,
+                rtol=rtol_t,
+                atol=solver.atol,
+                maxiter=solver.maxiter,
+            )
+            return res.x, res
+
+        return jax.jit(run_tensor, in_shardings=in_shardings), state_sharding
+
+    if solver.method == "minres":
+        from optimal_control_paradiag_tpu.krylov.minres import minres
+        from optimal_control_paradiag_tpu.paradiag.symmetric import build_symmetric_system
+
+        matvec_sym, pc_spd, swap_rhs = build_symmetric_system(op, layout=layout)
+        M_spd = (lambda r: layout.canonical(pc_spd(r))) if solver.pc == "paradiag" else None
+
+        def run_mr(b):
+            res = minres(
+                lambda x: layout.canonical(matvec_sym(layout.canonical(x))),
+                layout.canonical(swap_rhs(b)),
+                M=M_spd,
+                rtol=solver.rtol,
+                maxiter=solver.maxiter,
+            )
+            return res.x, res
+
+        return jax.jit(run_mr, in_shardings=in_shardings), state_sharding
+
+    if solver.method != "gmres":
+        raise NotImplementedError(f"sharded wave solve: method {solver.method!r}")
 
     pc_apply = None
     if solver.pc == "paradiag":
@@ -101,6 +155,24 @@ def make_sharded_heat_solver(problem, solver: Optional[SolverConfig], layout: Pa
             return layout.canonical(wb(layout.canonical(b))), None
 
         return jax.jit(run_wb, in_shardings=in_shardings), state_sharding
+
+    if solver.method == "minres":
+        from optimal_control_paradiag_tpu.krylov.minres import minres
+
+        matvec_sym, pc_spd, swap_rhs = problem.build_symmetric_system(layout=layout)
+        M_spd = (lambda r: layout.canonical(pc_spd(r))) if solver.pc == "paradiag" else None
+
+        def run_mr(b):
+            res = minres(
+                lambda x: layout.canonical(matvec_sym(layout.canonical(x))),
+                layout.canonical(swap_rhs(b)),
+                M=M_spd,
+                rtol=solver.rtol,
+                maxiter=solver.maxiter,
+            )
+            return res.x, res
+
+        return jax.jit(run_mr, in_shardings=in_shardings), state_sharding
 
     if solver.method not in ("woodbury", "gmres"):
         raise NotImplementedError(f"sharded heat solve: method {solver.method!r}")

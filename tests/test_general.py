@@ -120,3 +120,29 @@ def test_blockline_rejects_unstructured():
     prob = WaveControlProblem(cfg, space=make_general_space(pts, tris))
     with pytest.raises(ValueError, match="structured"):
         prob.solve(SolverConfig(pc_variant="blockline"))
+
+
+def test_element_form_nested_stiffness_exact():
+    """GeneralP1Space.apply_stiffness_nested (the cancellation-aware element
+    form) is algebraically identical to the assembled CSR apply, and its
+    float32 noise on a smooth field is no worse than the CSR form's."""
+    import jax
+
+    pts, tris = _perturbed_square(12, amp=0.15, seed=2)
+    sp = make_general_space(pts, tris, dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, sp.n)))
+    y_csr = np.asarray(jax.jit(sp.apply_stiffness)(x))
+    y_nst = np.asarray(jax.jit(sp.apply_stiffness_nested)(x))
+    np.testing.assert_allclose(y_nst, y_csr, atol=1e-12 * np.abs(y_csr).max())
+
+    sp32 = make_general_space(pts, tris, dtype=jnp.float32)
+    xs, ys = sp.coords
+    smooth = np.sin(np.pi * xs) * np.sin(np.pi * ys)
+    ref = sp.apply_stiffness_host_f64(smooth)
+    s32 = jnp.asarray(smooth, jnp.float32)
+    n_csr = np.abs(np.asarray(jax.jit(sp32.apply_stiffness)(s32), np.float64) - ref).max()
+    n_nst = np.abs(
+        np.asarray(jax.jit(sp32.apply_stiffness_nested)(s32), np.float64) - ref
+    ).max()
+    assert n_nst <= 1.5 * n_csr, (n_nst, n_csr)

@@ -76,3 +76,26 @@ def test_zero_rhs():
     res = gmres(lambda v: A @ v, jnp.zeros_like(b), restart=10)
     assert int(res.iterations) == 0
     np.testing.assert_allclose(np.asarray(res.x), 0.0)
+
+
+def test_restart_memory_clamp():
+    """The padded Krylov basis is auto-clamped to the memory budget with a
+    warning; small problems pass through untouched (VERDICT r3 item 6)."""
+    import warnings as _w
+
+    from optimal_control_paradiag_tpu.krylov.gmres import clamp_restart
+
+    # small state: no clamp, no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert clamp_restart(300, (2, 16, 15), jnp.float32, 1000) == 300
+    # headline-size f32 state: 300 would need ~5 GB; clamped under 4 GB
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        r = clamp_restart(300, (2, 1024, 2047), jnp.float32, 1000)
+        assert r < 300 and (r + 1) * 2 * 1024 * 2047 * 4 <= 4e9
+        assert rec and "clamping" in str(rec[0].message)
+    # end-to-end: the solve still runs with the requested-but-clamped restart
+    A = jnp.eye(8) * 2.0
+    res = gmres(lambda v: A @ v, jnp.ones(8), restart=300, rtol=1e-12, maxiter=50)
+    assert bool(res.converged)

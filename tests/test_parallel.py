@@ -294,3 +294,58 @@ def test_sharded_heat_gmres_f32_converges():
     s = math.sqrt(prob.config.gamma)
     sol = HeatSolution(u=x[0] / s, p=x[1], result=res)
     assert prob.relative_residual(sol) < 1e-4
+
+
+@pytest.mark.parametrize("n_time,n_space", [(8, 1), (4, 2)])
+def test_sharded_minres_matches_single_device(n_time, n_space):
+    """Symmetrized MINRES sharded (VERDICT r3 item 5): the SPD
+    absolute-value-circulant preconditioner is elementwise in diagonalized
+    coordinates, so it rides the same stage layouts; solution and iteration
+    count match the single-device minres."""
+    nd = n_time * n_space
+    _require_devices(nd)
+    N_t, N_x = 16, 17
+    prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t))
+    solver = SolverConfig(method="minres", rtol=1e-10, maxiter=200)
+    ref = prob.solve(solver)
+    layout = make_layout(n_time, n_space)
+    run, sharding = make_sharded_solver(prob, solver, layout)
+    x, res = run(jax.device_put(prob.rhs, sharding))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-8)
+    assert abs(int(res.iterations) - int(ref.result.iterations)) <= 1
+
+
+def test_sharded_heat_minres_matches_single_device():
+    """Heat symmetrized MINRES sharded through the half-spectrum pipeline
+    (the parallel/solve.py guard this replaces used to raise)."""
+    _require_devices(8)
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem
+    from optimal_control_paradiag_tpu.parallel.solve import make_sharded_heat_solver
+
+    prob = HeatControlProblem(ProblemConfig(N_x=17, N_t=16))
+    solver = SolverConfig(method="minres", rtol=1e-10, maxiter=200)
+    ref = prob.solve(solver)
+    layout = make_layout(4, 2)
+    run, sharding = make_sharded_heat_solver(prob, solver, layout)
+    x, res = run(jax.device_put(prob.rhs, sharding))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-9)
+
+
+def test_sharded_wave_2d_consistent_tensor_pc_matches_single_device():
+    """Wave on 2D CONSISTENT mass sharded: method='woodbury' dispatches to
+    GMRES preconditioned by the sharded exact tensor-mass SMW -- same answer
+    and iterations as the single-device tensor-PC path."""
+    _require_devices(8)
+    prob = WaveControlProblem(ProblemConfig(N_x=9, N_t=16, dim=2, mass="consistent"))
+    ref = prob.solve(SolverConfig(method="woodbury"))
+    layout = make_layout(4, 2)
+    run, sharding = make_sharded_solver(prob, SolverConfig(method="woodbury"), layout)
+    x, res = run(jax.device_put(prob.rhs, sharding))
+    assert bool(res.converged)
+    assert int(res.iterations) <= 12
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref.u), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(x[1]), np.asarray(ref.p), atol=1e-7)
