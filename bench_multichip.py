@@ -1,0 +1,221 @@
+"""Multichip benchmark harness: the sharded headline + heat stages on a
+('time', 'space') device mesh, one command, same JSON schema as bench.py.
+
+Runnable TODAY on a virtual CPU mesh (correctness + counted collectives;
+wall-clocks are disclaimed -- virtual devices serialize on one host) and on
+real multi-chip hardware UNCHANGED (the driver environment only needs
+jax.devices() to report the chips):
+
+  # 8 virtual devices (any host):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python bench_multichip.py --mesh 4,2
+
+  # a real v5e-8 host:
+  python bench_multichip.py --mesh 4,2 --nx 2048 --nt 1024
+
+  # a multi-host pod slice (one process per host, standard JAX distributed
+  # init; parallel/multihost.py:initialize must run first -- pass --multihost):
+  python bench_multichip.py --mesh 4,2 --multihost
+
+Stages (each guarded; failures recorded, not fatal):
+  sharded_wave_woodbury  -- the headline direct solve under the mesh
+  sharded_wave_gmres     -- ParaDiag-PC GMRES under the mesh
+  sharded_heat_woodbury  -- second family, rank-2 SMW sharded
+  collectives            -- all-gather/all-to-all/collective-permute counts
+                            in the compiled sharded headline HLO (the
+                            zero-all-gather schedule is the scaling
+                            evidence one chip can give; artifacts/
+                            scaling.json holds the modeled efficiency)
+
+Prints ONE JSON line like bench.py; full record to
+``artifacts/bench_multichip.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(_HERE, "artifacts", "bench_multichip.json")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mesh", default="4,2", metavar="TIME,SPACE")
+    p.add_argument("--nx", type=int, default=None, help="default: 2048 on TPU, 256 virtual")
+    p.add_argument("--nt", type=int, default=None, help="default: 1024 on TPU, 64 virtual")
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--chain", type=int, default=10)
+    p.add_argument("--multihost", action="store_true", help="jax.distributed init first")
+    p.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="'cpu' forces the virtual-device path even where a TPU exists",
+    )
+    return p.parse_args(argv)
+
+
+def _chain_time(run_fn, b, chain, reps):
+    """Median per-solve seconds over a jitted chain (bench.py protocol)."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def solve_chain(b):
+        def body(i, carry):
+            x = run_fn(carry)
+            return b + 1e-20 * x
+
+        xlast = lax.fori_loop(0, chain - 1, body, b) if chain > 1 else b
+        return jnp.sum(jnp.abs(run_fn(xlast)))
+
+    _ = float(solve_chain(b))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(solve_chain(b))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) / chain
+
+
+def count_collectives(jitted, b) -> dict:
+    """Collective-op counts in the compiled (SPMD-partitioned) HLO."""
+    txt = jitted.lower(b).compile().as_text()
+    return {
+        "all_gather": txt.count("all-gather("),
+        "all_to_all": txt.count("all-to-all("),
+        "collective_permute": txt.count("collective-permute("),
+        "all_reduce": txt.count("all-reduce("),
+    }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    t0 = time.time()
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        from optimal_control_paradiag_tpu.parallel.multihost import initialize
+
+        initialize()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
+    from optimal_control_paradiag_tpu.models.wave import WaveSolution
+    from optimal_control_paradiag_tpu.parallel.sharding import make_layout
+    from optimal_control_paradiag_tpu.parallel.solve import (
+        make_sharded_heat_solver,
+        make_sharded_solver,
+    )
+
+    n_time, n_space = (int(v) for v in args.mesh.split(","))
+    devices = jax.devices()
+    virtual = devices[0].platform == "cpu"
+    N_x = args.nx if args.nx is not None else (256 if virtual else 2048)
+    N_t = args.nt if args.nt is not None else (64 if virtual else 1024)
+    layout = make_layout(n_time, n_space)
+
+    record = {
+        "config": {
+            "mesh": {"time": n_time, "space": n_space},
+            "N_x": N_x,
+            "N_t": N_t,
+            "devices": len(devices),
+            "device_kind": devices[0].device_kind,
+            "virtual_mesh": virtual,
+            "timing_disclaimer": (
+                "virtual CPU devices serialize on one host: correctness and "
+                "collective counts are meaningful, wall-clocks are NOT"
+            )
+            if virtual
+            else None,
+        }
+    }
+
+    def guard(name, fn):
+        try:
+            t = time.time()
+            record[name] = fn()
+            record[name]["wall_s"] = round(time.time() - t, 1)
+        except Exception as exc:  # noqa: BLE001
+            record[name] = {"error": f"{type(exc).__name__}: {exc}"[:400]}
+
+    prob = WaveControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dtype=jnp.float32))
+    run_wb, sh = make_sharded_solver(prob, SolverConfig(method="woodbury"), layout)
+    b = jax.device_put(prob.rhs, sh) if sh is not None else prob.rhs
+
+    def stage_wave_wb():
+        x, _ = run_wb(b)
+        jax.block_until_ready(x)
+        rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+        ms = _chain_time(lambda bb: run_wb(bb)[0], b, args.chain, args.reps) * 1e3
+        return {"rel_f64": rel, "ms_per_solve": round(ms, 3)}
+
+    def stage_wave_gmres():
+        run, sh2 = make_sharded_solver(
+            prob, SolverConfig(rtol=1e-5, restart=50, maxiter=100), layout
+        )
+        b2 = jax.device_put(prob.rhs, sh2) if sh2 is not None else prob.rhs
+        x, res = run(b2)
+        jax.block_until_ready(x)
+        rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=res))
+        ms = _chain_time(lambda bb: run(bb)[0], b2, max(2, args.chain // 3), args.reps) * 1e3
+        return {"iters": int(res.iterations), "rel_f64": rel, "ms_per_solve": round(ms, 3)}
+
+    def stage_heat_wb():
+        import math
+
+        probh = HeatControlProblem(ProblemConfig(N_x=N_x, N_t=N_t, dtype=jnp.float32))
+        runh, shh = make_sharded_heat_solver(probh, SolverConfig(method="woodbury"), layout)
+        bh = jax.device_put(probh.rhs, shh) if shh is not None else probh.rhs
+        x, _ = runh(bh)
+        jax.block_until_ready(x)
+        s = math.sqrt(probh.config.gamma)
+        rel = probh.relative_residual_f64(HeatSolution(u=x[0] / s, p=x[1], result=None))
+        ms = _chain_time(lambda bb: runh(bb)[0], bh, args.chain, args.reps) * 1e3
+        return {"rel_f64": rel, "ms_per_solve": round(ms, 3)}
+
+    def stage_collectives():
+        counts = count_collectives(run_wb, b)
+        counts["note"] = "compiled sharded headline HLO (woodbury direct solve)"
+        return counts
+
+    guard("sharded_wave_woodbury", stage_wave_wb)
+    guard("sharded_wave_gmres", stage_wave_gmres)
+    guard("sharded_heat_woodbury", stage_heat_wb)
+    guard("collectives", stage_collectives)
+    record["total_wall_s"] = round(time.time() - t0, 1)
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=1)
+
+    head = record.get("sharded_wave_woodbury", {})
+    print(
+        json.dumps(
+            {
+                "metric": f"sharded_paradiag_direct_solve_nx{N_x}_nt{N_t}_mesh{n_time}x{n_space}_ms",
+                "value": head.get("ms_per_solve"),
+                "unit": "ms",
+                "vs_baseline": 0.0,
+                "virtual_mesh": virtual,
+            }
+        ),
+        flush=True,
+    )
+    return record
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,11 @@ import numpy as np
 
 
 def _with_boundary(space, flat: np.ndarray) -> np.ndarray:
-    """Interior nodal values -> full grid including zero boundary nodes."""
+    """Interior nodal values -> full grid/mesh including zero boundary nodes."""
+    if hasattr(space, "triangles"):  # GeneralP1Space: all-node vector
+        out = np.zeros((flat.shape[0], space.points.shape[0]))
+        out[:, np.flatnonzero(space.interior)] = flat
+        return out
     if space.dim == 1:
         out = np.zeros((flat.shape[0], space.N_x + 1))
         out[:, 1:-1] = flat
@@ -53,6 +57,13 @@ def write_solution(problem, sol, path_prefix: str, vtk: bool = False) -> str:
 
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     npz_path = path_prefix + ".npz"
+    extra = {}
+    if hasattr(sp, "triangles"):  # unstructured: ship the mesh itself
+        extra = {
+            "points": np.asarray(sp.points),
+            "triangles": np.asarray(sp.triangles),
+            "interior": np.asarray(sp.interior),
+        }
     np.savez_compressed(
         npz_path,
         times=times,
@@ -62,11 +73,64 @@ def write_solution(problem, sol, path_prefix: str, vtk: bool = False) -> str:
         p_ana=_with_boundary(sp, p_ana),
         coords=np.stack(sp.coords),
         config=json.dumps(dataclasses.asdict(cfg), default=str),
+        **extra,
     )
 
     if vtk:
-        _write_vtk_series(sp, path_prefix, times, u_out, p_out, u_ana, p_ana)
+        if hasattr(sp, "triangles"):
+            _write_vtk_unstructured_series(sp, path_prefix, times, u_out, p_out, u_ana, p_ana)
+        else:
+            _write_vtk_series(sp, path_prefix, times, u_out, p_out, u_ana, p_ana)
     return npz_path
+
+
+def _write_series_index(prefix: str, names, times) -> None:
+    """ParaView ``.series`` index (the ``.pvd`` analogue)."""
+    with open(prefix + ".vtk.series", "w") as f:
+        json.dump(
+            {
+                "file-series-version": "1.0",
+                "files": [{"name": n, "time": float(t)} for n, t in zip(names, times)],
+            },
+            f,
+            indent=1,
+        )
+
+
+def _write_vtk_unstructured_series(sp, prefix, times, u_out, p_out, u_ana, p_ana):
+    """Legacy-VTK UNSTRUCTURED_GRID (triangle cells) file series for
+    :class:`fem.general.GeneralP1Space` solutions -- the any-mesh output the
+    reference gets from Firedrake's VTK writer (``Control_Wave_PC.py:
+    251-256``)."""
+    names = []
+    fields = {
+        "u_out": _with_boundary(sp, u_out),
+        "p_out": _with_boundary(sp, p_out),
+        "u_ana": _with_boundary(sp, u_ana),
+        "p_ana": _with_boundary(sp, p_ana),
+    }
+    pts = np.asarray(sp.points, np.float64)
+    tris = np.asarray(sp.triangles, np.int64)
+    npoints, ntri = pts.shape[0], tris.shape[0]
+    for i, t in enumerate(times):
+        path = f"{prefix}_{i:04d}.vtk"
+        names.append(os.path.basename(path))
+        with open(path, "w") as f:
+            f.write("# vtk DataFile Version 3.0\n")
+            f.write(f"wave control solution t={t}\nASCII\nDATASET UNSTRUCTURED_GRID\n")
+            f.write(f"POINTS {npoints} double\n")
+            for x, y in pts:
+                f.write(f"{x} {y} 0\n")
+            f.write(f"CELLS {ntri} {4 * ntri}\n")
+            for a, b, c in tris:
+                f.write(f"3 {a} {b} {c}\n")
+            f.write(f"CELL_TYPES {ntri}\n")
+            f.write("5\n" * ntri)  # VTK_TRIANGLE
+            f.write(f"POINT_DATA {npoints}\n")
+            for name, arr in fields.items():
+                f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
+                np.savetxt(f, arr[i].ravel()[:, None])
+    _write_series_index(prefix, names, times)
 
 
 def _write_vtk_series(sp, prefix, times, u_out, p_out, u_ana, p_ana):
@@ -100,15 +164,4 @@ def _write_vtk_series(sp, prefix, times, u_out, p_out, u_ana, p_ana):
             for name, arr in fields.items():
                 f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
                 np.savetxt(f, arr[i].ravel()[:, None])
-    # ParaView .series index (the .pvd analogue).
-    with open(prefix + ".vtk.series", "w") as f:
-        json.dump(
-            {
-                "file-series-version": "1.0",
-                "files": [
-                    {"name": n, "time": float(t)} for n, t in zip(names, times)
-                ],
-            },
-            f,
-            indent=1,
-        )
+    _write_series_index(prefix, names, times)

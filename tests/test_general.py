@@ -146,3 +146,22 @@ def test_element_form_nested_stiffness_exact():
         np.asarray(jax.jit(sp32.apply_stiffness_nested)(s32), np.float64) - ref
     ).max()
     assert n_nst <= 1.5 * n_csr, (n_nst, n_csr)
+
+
+def test_unstructured_writers(tmp_path):
+    """write_solution handles GeneralP1Space: npz carries the mesh, VTK is
+    an UNSTRUCTURED_GRID triangle series (ref Control_Wave_PC.py:251-256)."""
+    from optimal_control_paradiag_tpu.io.writers import write_solution
+
+    pts, tris = _perturbed_square(8, amp=0.12, seed=3)
+    sp = make_general_space(pts, tris)
+    prob = WaveControlProblem(ProblemConfig(N_x=8, N_t=8, dim=2), space=sp)
+    sol = prob.solve(SolverConfig(method="woodbury"))
+    npz = write_solution(prob, sol, str(tmp_path / "unstr"), vtk=True)
+    z = np.load(npz)
+    assert z["u_out"].shape == (9, pts.shape[0])
+    assert z["triangles"].shape == tris.shape
+    first = (tmp_path / "unstr_0000.vtk").read_text().splitlines()
+    assert "UNSTRUCTURED_GRID" in first[3]
+    assert sum(1 for p in tmp_path.iterdir() if p.suffix == ".vtk") == 9
+    assert (tmp_path / "unstr.vtk.series").exists()
