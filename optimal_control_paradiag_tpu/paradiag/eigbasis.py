@@ -65,6 +65,25 @@ def pencil_eig_host(M: np.ndarray, K: np.ndarray) -> Tuple[np.ndarray, np.ndarra
     return lam, V
 
 
+def pencil_eig_torch(M: np.ndarray, K: np.ndarray, f32: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """(lam, V) via torch's multithreaded LAPACK on host -- the fallback
+    when the device eigh's remote compile is impractical (axon relay) and
+    float64 numpy is too slow (measured on the 2-core gate host at n=4096:
+    torch f32 3.2 s vs numpy f64 6.8 s; ~6.5 min extrapolated at n=2e4)."""
+    import torch
+
+    td = torch.float32 if f32 else torch.float64
+    Mt = torch.from_numpy(np.ascontiguousarray(M, np.float32 if f32 else np.float64)).to(td)
+    Kt = torch.from_numpy(np.ascontiguousarray(K, np.float32 if f32 else np.float64)).to(td)
+    L = torch.linalg.cholesky(Mt)
+    X = torch.linalg.solve_triangular(L, Kt, upper=False)
+    S = torch.linalg.solve_triangular(L, X.T, upper=False).T
+    S = 0.5 * (S + S.T)
+    lam, Q = torch.linalg.eigh(S)
+    V = torch.linalg.solve_triangular(L.T, Q, upper=True)
+    return lam.numpy().astype(np.float64), V.numpy()
+
+
 def pencil_eig_device(M: np.ndarray, K: np.ndarray, dtype) -> Tuple[np.ndarray, jnp.ndarray]:
     """(lam, V) computed ON DEVICE (one jitted program: Cholesky +
     triangular congruence + ``jnp.linalg.eigh`` -- all MXU work). The
@@ -173,15 +192,20 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
     """Compute the pencil eigenbasis of a general space.
 
     ``method``: 'host' (float64 numpy; exact-to-rounding, O(n^3) on 2 cores
-    -- the test/small path), 'device' (float32 TPU eigh; the at-scale path),
-    'auto' (host below n=1500, device above)."""
+    -- the test/small path), 'device' (float32 TPU eigh -- one MXU program;
+    pays a remote compile on the axon relay), 'torch' (float32 host via
+    torch's multithreaded LAPACK -- the compile-free at-scale path), 'auto'
+    (host below n=1500, torch above)."""
     n = space.n
     if method == "auto":
-        method = "host" if n <= 1500 else "device"
+        method = "host" if n <= 1500 else "torch"
     M = space.mass_dense()
     K = space.stiffness_dense()
     if method == "host":
         lam, V = pencil_eig_host(M, K)
+        Vd = to_device(V, space.dtype)
+    elif method == "torch":
+        lam, V = pencil_eig_torch(M, K, f32=jnp.dtype(space.dtype).itemsize == 4)
         Vd = to_device(V, space.dtype)
     elif method == "device":
         lam, Vd = pencil_eig_device(M, K, space.dtype)

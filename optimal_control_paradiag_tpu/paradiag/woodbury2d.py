@@ -99,7 +99,13 @@ def build_woodbury2d_solver(
     - UNSTRUCTURED meshes (``pinv_variant='blockband'``, auto-picked when
       the space has no ``n1d``): the same space-generic SMW splitting with
       the RCM-banded level-Thomas ``P^{-1}`` (paradiag/blockband.py); no
-      sine basis exists, so the capacity GMRES runs unpreconditioned.
+      sine basis exists, so the capacity GMRES runs unpreconditioned --
+      and inherits the boundary-correction outlier spectrum (measured: 150
+      capacity iterations at n=961, N_t=64, rtol 1e-10; the capacity and
+      circulant-PC outer spectra coincide off 1). Kept as the
+      factorization-based cross-check; the PRODUCTION unstructured direct
+      path is the generalized-eigenbasis Woodbury (paradiag/eigbasis.py,
+      1-2 outer iterations).
 
     ``cap_rtol``/``cap_maxiter`` control the capacity GMRES; each capacity
     iteration costs one ``P^{-1}`` apply. ``refine``: outer defect-correction
