@@ -214,6 +214,29 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
     return EigBasisSpace(base=space, lam=lam, V=Vd)
 
 
+def save_eig_basis(path: str, basis: EigBasisSpace) -> str:
+    """Persist the pencil eigenbasis (the expensive setup artifact -- the
+    analogue of a saved MUMPS factorization, which the reference recomputes
+    every run): ``load_eig_basis`` restores it in seconds for any number of
+    later solves on the same mesh."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez_compressed(path, lam=basis.lam, V=np.asarray(basis.V))
+    return path
+
+
+def load_eig_basis(path: str, space) -> EigBasisSpace:
+    """Restore a basis saved by :func:`save_eig_basis` onto ``space`` (must
+    be the same mesh/dtype discretization; checked by shape)."""
+    z = np.load(path)
+    lam, V = np.asarray(z["lam"], np.float64), z["V"]
+    if V.shape != (space.n, space.n):
+        raise ValueError(
+            f"basis shape {V.shape} does not match space n={space.n}"
+        )
+    return EigBasisSpace(base=space, lam=lam, V=to_device(V, space.dtype))
+
+
 def build_eig_woodbury_solver(
     op: AllAtOnceOperator,
     basis: Optional[EigBasisSpace] = None,

@@ -125,3 +125,26 @@ def test_polish_ladder_unstructured_f32():
     # rises while the ladder's stays put).
     assert rel_dword < 5e-6, (rel_plain, rel_dword)
     assert rel_dword < rel_plain, (rel_plain, rel_dword)
+
+
+def test_basis_save_load_roundtrip(tmp_path):
+    """The eigenbasis persists and restores (the saved-factorization reuse
+    the reference's per-run MUMPS factorizations never had)."""
+    from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+        load_eig_basis,
+        save_eig_basis,
+    )
+
+    sp = perturbed_space(9, jnp.float64)
+    basis = build_eig_basis(sp, method="host")
+    path = save_eig_basis(str(tmp_path / "basis"), basis)
+    restored = load_eig_basis(path, sp)
+    np.testing.assert_allclose(restored.lam, basis.lam)
+    np.testing.assert_allclose(np.asarray(restored.V), np.asarray(basis.V))
+    prob = WaveControlProblem(ProblemConfig(N_x=9, N_t=8, dim=2), space=sp)
+    wb = jax.jit(build_eig_woodbury_solver(prob.operator, restored, refine=1))
+    x = wb(prob.rhs)
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+    assert rel < 1e-11, rel
+    with pytest.raises(ValueError, match="does not match"):
+        load_eig_basis(path, perturbed_space(7, jnp.float64))

@@ -178,3 +178,25 @@ def test_cli_sharded_mesh(tmp_path):
     rec = main(["--model", "heat", "--mesh", "4,2", "--nx", "17", "--nt", "16",
                 "--method", "woodbury", "--out", str(tmp_path)])
     assert rec["residual"] < 1e-11
+
+
+def test_cli_mesh_sweep_rejected():
+    """--mesh with --sweep errors out instead of silently ignoring the mesh
+    (ADVICE r3)."""
+    from optimal_control_paradiag_tpu.run import main
+
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        main(["--mesh", "2,1", "--sweep"])
+
+
+def test_cli_heat_sweep_nx_default(tmp_path, capsys):
+    """The heat tau-sweep defaults N_x to 128 only when --nx is NOT given;
+    an explicit --nx 80 is honoured (ADVICE r3 sentinel-collision fix)."""
+    from optimal_control_paradiag_tpu.run import build_parser, run_heat
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(["--model", "heat", "--sweep", "--nx", "80", "--out", str(tmp_path)])
+    assert args.nx == 80  # parser keeps the explicit value
+
+    args2 = build_parser().parse_args(["--model", "heat", "--sweep"])
+    assert args2.nx is None  # resolved to 128 inside run_heat
