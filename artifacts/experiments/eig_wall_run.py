@@ -1,0 +1,61 @@
+"""Standalone wall-size unstructured eig-ParaDiag run (bench stage retry
+harness): caches the pencil eigenbasis under artifacts/cache so the ~75 min
+host eigh is paid once; retries the TPU part on relay transport errors."""
+import json, os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import numpy as np
+import jax
+import jax.numpy as jnp
+from optimal_control_paradiag_tpu import ProblemConfig, native
+from optimal_control_paradiag_tpu.fem.general import boundary_nodes, make_general_space
+from optimal_control_paradiag_tpu.models.wave import WaveControlProblem, WaveSolution
+from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+    build_eig_basis, build_eig_gmres_solver, load_eig_basis, save_eig_basis,
+)
+
+N, N_t = 144, 64
+CACHE = os.path.join(os.path.dirname(__file__), "..", "cache", f"eig_basis_N{N}.npz")
+
+pts, tris = native.unit_square_mesh(N, diagonal="left")
+bnd = boundary_nodes(pts.shape[0], tris)
+rng = np.random.default_rng(0)
+pts = pts.copy()
+pts[~bnd] += rng.uniform(-0.18 / N, 0.18 / N, size=pts[~bnd].shape)
+sp = make_general_space(pts, tris, dtype=jnp.float32)
+prob = WaveControlProblem(ProblemConfig(N_x=N, N_t=N_t, dim=2, dtype=jnp.float32), space=sp)
+
+t0 = time.time()
+if os.path.exists(CACHE):
+    basis = load_eig_basis(CACHE, sp)
+    print(f"basis loaded from cache ({time.time()-t0:.0f}s)", flush=True)
+else:
+    basis = build_eig_basis(sp, method="torch")
+    save_eig_basis(CACHE, basis)
+    print(f"basis computed+cached ({time.time()-t0:.0f}s)", flush=True)
+t_eig = time.time() - t0
+
+import statistics
+solve = jax.jit(build_eig_gmres_solver(prob.operator, basis, rtol=1e-5, with_result=True))
+b = prob.rhs
+t0 = time.time()
+x, res = solve(b)
+jax.block_until_ready(x)
+print(f"solve compile+run {time.time()-t0:.0f}s iters {int(res.iterations)}", flush=True)
+rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=res))
+times = []
+for _ in range(3):
+    t0 = time.time()
+    x, res = solve(b)
+    jax.block_until_ready(x)
+    times.append(time.time() - t0)
+ms = statistics.median(times) * 1e3
+out = {
+    "n_interior": sp.n, "n_dofs": 2 * N_t * sp.n,
+    "eig_setup_s": round(t_eig, 1), "iters": int(res.iterations),
+    "rel_f64": rel, "ms_per_solve": round(ms, 3),
+}
+if out["iters"] > 10: out["gate_failed"] = "iters > 10"
+if rel > 5e-4: out["gate_failed_rel"] = f"rel {rel:.3e}"
+print(json.dumps(out), flush=True)
+with open(os.path.join(os.path.dirname(__file__), "eig_wall_result.json"), "w") as f:
+    json.dump(out, f, indent=1)

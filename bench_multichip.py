@@ -103,6 +103,11 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from optimal_control_paradiag_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     if args.multihost:
         from optimal_control_paradiag_tpu.parallel.multihost import initialize
 

@@ -108,6 +108,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.x64 or args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    from optimal_control_paradiag_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from optimal_control_paradiag_tpu import ProblemConfig, SolverConfig, WaveControlProblem
