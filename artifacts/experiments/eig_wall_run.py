@@ -10,7 +10,7 @@ from optimal_control_paradiag_tpu import ProblemConfig, native
 from optimal_control_paradiag_tpu.fem.general import boundary_nodes, make_general_space
 from optimal_control_paradiag_tpu.models.wave import WaveControlProblem, WaveSolution
 from optimal_control_paradiag_tpu.paradiag.eigbasis import (
-    build_eig_basis, build_eig_gmres_solver, load_eig_basis, save_eig_basis,
+    build_eig_basis, build_eig_direct_fn, load_eig_basis, save_eig_basis,
 )
 
 N, N_t = 144, 64
@@ -35,26 +35,29 @@ else:
 t_eig = time.time() - t0
 
 import statistics
-solve = jax.jit(build_eig_gmres_solver(prob.operator, basis, rtol=1e-5, with_result=True))
+steps = 2
+# args-form: V is an explicit jit argument (an executable PARAMETER), never
+# an embedded 1.7 GB program constant (eigbasis.build_eig_direct_fn note).
+fn = jax.jit(build_eig_direct_fn(prob.operator, basis, steps=steps))
+V = basis.V
 b = prob.rhs
 t0 = time.time()
-x, res = solve(b)
+x = fn(b, V)
 jax.block_until_ready(x)
-print(f"solve compile+run {time.time()-t0:.0f}s iters {int(res.iterations)}", flush=True)
-rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=res))
+print(f"solve compile+run {time.time()-t0:.0f}s", flush=True)
+rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
 times = []
 for _ in range(3):
     t0 = time.time()
-    x, res = solve(b)
+    x = fn(b, V)
     jax.block_until_ready(x)
     times.append(time.time() - t0)
 ms = statistics.median(times) * 1e3
 out = {
     "n_interior": sp.n, "n_dofs": 2 * N_t * sp.n,
-    "eig_setup_s": round(t_eig, 1), "iters": int(res.iterations),
+    "eig_setup_s": round(t_eig, 1), "iters": steps,
     "rel_f64": rel, "ms_per_solve": round(ms, 3),
 }
-if out["iters"] > 10: out["gate_failed"] = "iters > 10"
 if rel > 5e-4: out["gate_failed_rel"] = f"rel {rel:.3e}"
 print(json.dumps(out), flush=True)
 with open(os.path.join(os.path.dirname(__file__), "eig_wall_result.json"), "w") as f:

@@ -562,7 +562,7 @@ def stage_unstructured_eig():
     from optimal_control_paradiag_tpu.models.wave import WaveControlProblem, WaveSolution
     from optimal_control_paradiag_tpu.paradiag.eigbasis import (
         build_eig_basis,
-        build_eig_gmres_solver,
+        build_eig_direct_fn,
     )
 
     if not native.available():
@@ -600,22 +600,49 @@ def stage_unstructured_eig():
         save_eig_basis(cache, basis)
     basis.V.block_until_ready()
     t_eig = time.time() - t0
-    solve = jax.jit(build_eig_gmres_solver(prob.operator, basis, rtol=1e-5, with_result=True))
+    # Richardson args-form (build_eig_direct_fn): one W apply + 'steps'
+    # defect corrections, with the basis matrix an EXPLICIT jit argument --
+    # an executable parameter, not a 1.7 GB embedded program constant (the
+    # closure/GMRES forms' compile RPC broke the relay; eigbasis.py note).
+    steps = 2
+    fn = jax.jit(build_eig_direct_fn(prob.operator, basis, steps=steps))
+    V = basis.V
     b = prob.rhs
-    x, res = solve(b)
+    x = fn(b, V)
     jax.block_until_ready(x)
-    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=res))
-    ms = _chain_time(lambda bb: solve(bb)[0], b, chain=5, reps=REPS) * 1e3
+    rel = prob.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+
+    # V-threading chain timer (the shared _chain_time would close over V).
+    import statistics as _st
+    from jax import lax as _lax
+
+    fn_impl = build_eig_direct_fn(prob.operator, basis, steps=steps)
+    chain = 5
+
+    @jax.jit
+    def solve_chain(b, V):
+        def body(i, carry):
+            return b + 1e-20 * fn_impl(carry, V)
+
+        xlast = _lax.fori_loop(0, chain - 1, body, b)
+        return jnp.sum(jnp.abs(fn_impl(xlast, V)))
+
+    _ = float(solve_chain(b, V))
+    _times = []
+    for _ in range(REPS):
+        _t0 = time.perf_counter()
+        _ = float(solve_chain(b, V))
+        _times.append(time.perf_counter() - _t0)
+    ms = _st.median(_times) / chain * 1e3
     out = {
         "n_interior": sp.n,
         "n_dofs": 2 * N_t * sp.n,
         "eig_setup_s": round(t_eig, 1),
-        "iters": int(res.iterations),
+        "eig_cached": cached,
+        "iters": steps,
         "rel_f64": rel,
         "ms_per_solve": round(ms, 3),
     }
-    if int(res.iterations) > 10:
-        out["gate_failed"] = f"iters {int(res.iterations)} > 10"
     if rel > 5e-4:
         out["gate_failed_rel"] = f"rel {rel:.3e} > 5e-4"
     return out

@@ -95,7 +95,14 @@ class SolverConfig:
         boundary correction, the float32-stable fast path) | 'woodbury'
         (DIRECT solve of the same diagonalized system via the rank-4
         Sherman-Morrison-Woodbury identity -- no Krylov iteration; see
-        paradiag/spectral.py).
+        paradiag/spectral.py). On non-sine-diagonalizable spaces 'woodbury'
+        keeps the direct-solve contract through exact-surrogate GMRES:
+        structured 2D consistent mass uses the tensor-mass Woodbury PC
+        (paradiag/woodbury2d.py, ~1-8 iterations mesh-independent);
+        UNSTRUCTURED meshes use the generalized-eigenbasis Woodbury PC
+        (paradiag/eigbasis.py: one pencil eigh at build time -- seconds to
+        n~3e3, tens of minutes at n~2e4 on a small host; persist it with
+        eigbasis.save_eig_basis -- then 1-2 iterations per solve).
       pc: 'paradiag' | None.
       pc_variant: 'fulldiag' (sine-transform full diagonalization; TPU fast
         path, exact same operator, robust near ``Lambda_2 = 0``) or 'eig'

@@ -154,10 +154,31 @@ class WaveControlProblem:
                         wb2 = build_woodbury2d_solver(op, cap_rtol=tight)
                     else:
                         from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+                            build_eig_basis,
+                            build_eig_direct_fn,
                             build_eig_gmres_solver,
                         )
 
-                        wb2 = build_eig_gmres_solver(op, rtol=tight)
+                        if self.space.n <= 2000:
+                            wb2 = build_eig_gmres_solver(op, rtol=tight)
+                        else:
+                            # Large n: args-form Richardson -- the basis
+                            # matrix must ride as a jit ARGUMENT (embedded
+                            # closure constants blow up lowering/compile at
+                            # this size; eigbasis.build_eig_direct_fn).
+                            basis = build_eig_basis(self.space)
+                            # polish folds into extra Richardson steps here
+                            # (the two-float ladder would re-embed V).
+                            steps = (0 if f64 else 2) + solver.polish
+                            fnV = jax.jit(
+                                build_eig_direct_fn(op, basis, steps=steps)
+                            )
+                            Vb = basis.V
+
+                            def run_eig(b, x0=None):
+                                return fnV(b, Vb), None
+
+                            return run_eig
                 else:
                     wb2 = build_tensor_gmres_solver(op, rtol=tight)
                 if solver.polish:

@@ -72,7 +72,7 @@ import numpy as np
 
 from optimal_control_paradiag_tpu.ops.allatonce import AllAtOnceOperator
 from optimal_control_paradiag_tpu.paradiag.eigs import circulant_eigs
-from optimal_control_paradiag_tpu.utils.constants import host_const
+from optimal_control_paradiag_tpu.utils.constants import host_const, to_device
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,10 +189,17 @@ def _spectral_plan(op: AllAtOnceOperator, mass_surrogate: bool = False) -> _Spec
         muK64=muK,
         L1c=host_const(np.asarray(e.Lambda1), np_c),
         L2c=host_const(np.asarray(e.Lambda2), np_c),
-        m1=host_const(muM, rdtype),
-        kap1=host_const(c * muK, rdtype),
-        tm1=host_const(theta * muM, rdtype),
-        mk1=host_const(muM + c * muK, rdtype),
+        # O(n) per-space factors ship as DEVICE arrays (compiled-executable
+        # parameters): as embedded numpy constants XLA constant-folds the
+        # (N_t, n) mode_diag products they feed at COMPILE time with the
+        # slow HLO evaluator -- measured on the axon relay at n=20449 the
+        # compile helper grinds >10 min and dies (r4 wall-stage bisect);
+        # as parameters the same program compiles in ~2 min. (Same policy
+        # as blockband's factor tensors and the Pallas kernels' columns.)
+        m1=to_device(muM, rdtype),
+        kap1=to_device(c * muK, rdtype),
+        tm1=to_device(theta * muM, rdtype),
+        mk1=to_device(muM + c * muK, rdtype),
         phi_uNm1=phi(N_t - 1),
         phi_uNm2=phi(N_t - 2),
         phi_p0=phi(0),
@@ -491,10 +498,11 @@ def _build_woodbury_half(
         sp, N_t, rdtype, layout=layout, time_transform=time_transform
     )
 
-    m1 = host_const(pl.muM64, rdtype)
-    kap1 = host_const(pl.c * pl.muK64, rdtype)
-    tm1 = host_const(pl.theta * pl.muM64, rdtype)
-    mk1 = host_const(pl.muM64 + pl.c * pl.muK64, rdtype)
+    # O(n) constants as device parameters (see _spectral_plan note).
+    m1 = to_device(pl.muM64, rdtype)
+    kap1 = to_device(pl.c * pl.muK64, rdtype)
+    tm1 = to_device(pl.theta * pl.muM64, rdtype)
+    mk1 = to_device(pl.muM64 + pl.c * pl.muK64, rdtype)
 
     k = np.arange(K)
     wgt = np.full(K, 2.0)
@@ -509,7 +517,7 @@ def _build_woodbury_half(
 
     G_h = _capacity_matrices(pl)
     assert float(np.abs(G_h.imag).max()) < 1e-10 * max(float(np.abs(G_h.real).max()), 1.0)
-    G = [[host_const(G_h[:, a, b].real, rdtype) for b in range(4)] for a in range(4)]
+    G = [[to_device(G_h[:, a, b].real, rdtype) for b in range(4)] for a in range(4)]
 
     def D_inv(r):
         a11, a22, tm, inv_det = pl.mode_diag(K)  # traced outer products
@@ -602,7 +610,7 @@ def build_woodbury_solver(
     G_h = _capacity_matrices(pl)
     # Unrolled 4x4 mix entries as separate (n,) device constants: complex
     # dot_general does not lower on the TPU backend, broadcasts do.
-    G = [[host_const(G_h[:, a, b], pl.np_c) for b in range(4)] for a in range(4)]
+    G = [[to_device(G_h[:, a, b], pl.np_c) for b in range(4)] for a in range(4)]
 
     def wb_apply(r_hat: jnp.ndarray) -> jnp.ndarray:
         y = D_inv(r_hat)
