@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
         "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count=N "
         "and --platform cpu",
     )
+    p.add_argument(
+        "--mesh-file",
+        default=None,
+        metavar="NPZ",
+        help="solve on an ARBITRARY triangle mesh: an .npz with 'points' "
+        "(n,2) float and 'triangles' (m,3) int (optional boolean 'interior' "
+        "mask; default = topological boundary detection). Wave model, dim=2; "
+        "--nx is ignored for geometry. The reference's any-Mesh capability "
+        "(Control_Wave_PC.py:16-19) as a CLI surface.",
+    )
     p.add_argument("--sweep", action="store_true", help="run the N=5..70 convergence sweep (ref :583-631)")
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--write-vtk", action="store_true")
@@ -138,13 +148,27 @@ def main(argv=None):
     if args.sweep:
         return run_sweep(args, dtype, solver)
 
+    space = None
+    if args.mesh_file:
+        import numpy as np
+
+        from optimal_control_paradiag_tpu.fem.general import make_general_space
+
+        z = np.load(args.mesh_file)
+        space = make_general_space(
+            z["points"],
+            z["triangles"],
+            dtype=dtype,
+            interior=z["interior"] if "interior" in z.files else None,
+        )
+        args.dim = 2
     cfg = ProblemConfig(
         N_x=args.nx, N_t=args.nt, T=args.T, gamma=args.gamma,
         dim=args.dim, mass=args.mass, dtype=dtype,
     )
     timer = StageTimer()
     with timer.stage("setup"):
-        prob = WaveControlProblem(cfg)
+        prob = WaveControlProblem(cfg, space=space)
         _ = prob.rhs
     with profile_trace(args.profile):
         with timer.stage("solve (compile + run)") as out:

@@ -200,3 +200,28 @@ def test_cli_heat_sweep_nx_default(tmp_path, capsys):
 
     args2 = build_parser().parse_args(["--model", "heat", "--sweep"])
     assert args2.nx is None  # resolved to 128 inside run_heat
+
+
+def test_cli_mesh_file(tmp_path):
+    """--mesh-file solves on a user-supplied triangle mesh and writes the
+    unstructured solution (the reference's any-Mesh capability as CLI)."""
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import native
+    from optimal_control_paradiag_tpu.run import main
+
+    if not native.available():
+        import pytest as _pt
+
+        _pt.skip("native toolchain unavailable")
+    pts, tris = native.unit_square_mesh(8)
+    mesh_npz = tmp_path / "mesh.npz"
+    np.savez(mesh_npz, points=pts, triangles=tris)
+    rec = main([
+        "--mesh-file", str(mesh_npz), "--nt", "8", "--method", "woodbury",
+        "--out", str(tmp_path),
+    ])
+    assert rec["residual_norm_true"] < 1e-8
+    assert os.path.exists(tmp_path / "solution.npz")
+    z = np.load(tmp_path / "solution.npz")
+    assert "triangles" in z.files
