@@ -543,6 +543,39 @@ def stage_breakdown(prob):
     return out
 
 
+def stage_heat_2d():
+    """Heat family in 2D on hardware (r4: the 2D manufactured validation,
+    VERDICT item 3, measured on-device): lumped 2D rank-2 SMW direct solve
+    at N_x=256, N_t=64 (8.3M DoFs) with the REAL error metric vs the
+    separable product-sine manufactured solution."""
+    import jax
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu import ProblemConfig
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
+
+    prob = HeatControlProblem(
+        ProblemConfig(N_x=256, N_t=64, dim=2, mass="lumped", dtype=jnp.float32)
+    )
+    wb = jax.jit(prob.build_woodbury_solver(refine=1))
+    b = prob.rhs
+    x = wb(b)
+    x.block_until_ready()
+    import math
+
+    s = math.sqrt(prob.config.gamma)
+    sol = HeatSolution(u=x[0] / s, p=x[1], result=None)
+    rel = prob.relative_residual_f64(sol)
+    err = prob.error_vs_analytic(sol)
+    ms = _chain_time(wb, b, chain=20, reps=REPS) * 1e3
+    return {
+        "n_dofs": 2 * prob.config.N_t * prob.space.n,
+        "rel_f64": rel,
+        "error_vs_analytic_2d": err,
+        "ms_per_solve": round(ms, 3),
+    }
+
+
 def stage_unstructured_eig():
     """UNSTRUCTURED solve AT THE WALL (VERDICT r3 item 1): perturbed
     triangle mesh with n >= 2e4 interior DoFs, N_t = 64 (2.6M all-at-once
@@ -865,6 +898,8 @@ def main():
             guard("batched_woodbury", stage_batched, prob, est_s=60)
             write_suite()
             guard("heat_woodbury", stage_heat, est_s=90)
+            write_suite()
+            guard("heat_2d_woodbury", stage_heat_2d, est_s=90)
             write_suite()
             # est 150: measured 105 s on the relay once the factor tensors
             # ship as executable parameters instead of embedded constants

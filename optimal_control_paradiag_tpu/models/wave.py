@@ -166,7 +166,12 @@ class WaveControlProblem:
                             # matrix must ride as a jit ARGUMENT (embedded
                             # closure constants blow up lowering/compile at
                             # this size; eigbasis.build_eig_direct_fn).
-                            basis = build_eig_basis(self.space)
+                            # The (expensive) basis is cached per problem
+                            # so solver-config changes never recompute it.
+                            basis = getattr(self, "_eig_basis", None)
+                            if basis is None:
+                                basis = build_eig_basis(self.space)
+                                self._eig_basis = basis
                             # polish folds into extra Richardson steps here
                             # (the two-float ladder would re-embed V).
                             steps = (0 if f64 else 2) + solver.polish

@@ -148,3 +148,26 @@ def test_basis_save_load_roundtrip(tmp_path):
     assert rel < 1e-11, rel
     with pytest.raises(ValueError, match="does not match"):
         load_eig_basis(path, perturbed_space(7, jnp.float64))
+
+
+def test_direct_fn_equals_closure_solver():
+    """The args-form (fn(b, V)) and closure-form Richardson solvers are the
+    same program; the args-form exists so V lowers as an executable
+    parameter instead of a multi-GB embedded constant at large n."""
+    from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+        build_eig_direct_fn,
+        build_eig_direct_solver,
+    )
+
+    sp = perturbed_space(12, jnp.float32)
+    prob = WaveControlProblem(
+        ProblemConfig(N_x=12, N_t=16, dim=2, dtype=jnp.float32), space=sp
+    )
+    basis = build_eig_basis(sp, method="host")
+    x_args = jax.jit(build_eig_direct_fn(prob.operator, basis, steps=2))(
+        prob.rhs, basis.V
+    )
+    x_clos = jax.jit(build_eig_direct_solver(prob.operator, basis, steps=2))(prob.rhs)
+    np.testing.assert_array_equal(np.asarray(x_args), np.asarray(x_clos))
+    rel = prob.relative_residual_f64(WaveSolution(u=x_args[0], p=x_args[1], result=None))
+    assert rel < 1e-4, rel
