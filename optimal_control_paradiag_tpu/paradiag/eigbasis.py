@@ -199,6 +199,20 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
     n = space.n
     if method == "auto":
         method = "host" if n <= 1500 else "torch"
+    if method == "torch":
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            import warnings
+
+            warnings.warn(
+                "torch is not installed (optional extra "
+                "'optimal_control_paradiag_tpu[torch]'); falling back to the "
+                "single-threaded numpy float64 pencil eigh, which is several "
+                "times slower at this size",
+                stacklevel=2,
+            )
+            method = "host"
     M = space.mass_dense()
     K = space.stiffness_dense()
     if method == "host":
@@ -296,6 +310,7 @@ def build_eig_direct_fn(
     basis: EigBasisSpace,
     *,
     steps: int = 2,
+    with_residual: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Argument-form Richardson solve: returns ``fn(b, V) -> x`` with the
     basis matrix an EXPLICIT argument. Required at large n: jax embeds
@@ -305,18 +320,28 @@ def build_eig_direct_fn(
     executable parameters. Jit ``fn`` itself and pass ``basis.V`` each
     call; do NOT close over the result inside another jit (that re-embeds
     V). The closure-form :func:`build_eig_direct_solver` stays the
-    convenient small-n API."""
+    convenient small-n API.
+
+    ``with_residual``: also return the a-posteriori relative residual
+    ``||b - A x|| / ||b||`` measured with the cancellation-aware matvec --
+    one extra accurate matvec, so the fixed-step Richardson solve carries a
+    convergence certificate instead of being silently trusted (the solve is
+    NOT adaptive: rtol/maxiter semantics do not apply to it)."""
     import dataclasses as _dc
 
     from optimal_control_paradiag_tpu.paradiag.spectral import build_woodbury_solver
 
-    def fn(b: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    def fn(b: jnp.ndarray, V: jnp.ndarray):
         ad = _dc.replace(basis, V=V)
         op_eig = _dc.replace(op, space=ad)
         W = build_woodbury_solver(op_eig, refine=0)
         x = W(b)
         for _ in range(steps):
             x = x + W(b - op.matvec_accurate(x))
+        if with_residual:
+            r = b - op.matvec_accurate(x)
+            rel = jnp.linalg.norm(r.reshape(-1)) / jnp.linalg.norm(b.reshape(-1))
+            return x, rel
         return x
 
     return fn

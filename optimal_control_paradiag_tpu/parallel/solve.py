@@ -67,10 +67,15 @@ def make_sharded_solver(problem, solver: Optional[SolverConfig], layout: Paralle
         W_t = _build_woodbury_half(op, pl, refine=0, time_transform="dft", layout=layout)
         f64 = jnp.dtype(op.space.dtype).itemsize == 8
         rtol_t = solver.rtol if solver.rtol < 1e-6 else (1e-10 if f64 else 1e-5)
+        # f32 non-diagonalizable spaces: iterate on the cancellation-aware
+        # element-form matvec, exactly like the unsharded path
+        # (wave.py._make_solver) -- the plain stencil's smooth-mode noise
+        # floor sits above rtol_t=1e-5 and stalls outer GMRES.
+        mv_t = op.matvec if f64 else op.matvec_accurate
 
         def run_tensor(b):
             res = gmres(
-                lambda x: layout.canonical(op.matvec(layout.canonical(x))),
+                lambda x: layout.canonical(mv_t(layout.canonical(x))),
                 layout.canonical(b),
                 M=lambda r: layout.canonical(W_t(r)),
                 restart=solver.restart,

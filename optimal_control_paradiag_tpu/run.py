@@ -82,6 +82,26 @@ def build_parser() -> argparse.ArgumentParser:
         "(Control_Wave_PC.py:16-19) as a CLI surface.",
     )
     p.add_argument("--sweep", action="store_true", help="run the N=5..70 convergence sweep (ref :583-631)")
+    p.add_argument(
+        "--rebuild-eig-cache",
+        action="store_true",
+        help="(re)build the cached generalized-eigenbasis for the wall-size "
+        "unstructured bench stage (artifacts/cache/eig_basis_N144.npz; "
+        "n=20449 interior DoFs) and exit. Prints a time estimate up front. "
+        "--eig-method picks the backend; --nx overrides the mesh size "
+        "(N interior nodes per side = nx-1).",
+    )
+    p.add_argument(
+        "--eig-method",
+        default="auto",
+        choices=("auto", "sdc", "torch", "host", "device"),
+        help="pencil-eigendecomposition backend for --rebuild-eig-cache and "
+        "unstructured solves: 'sdc' = blocked spectral divide-and-conquer on "
+        "the TPU (minutes at n=2e4), 'torch'/'host' = host LAPACK (hours at "
+        "n=2e4 on a small host), 'device' = monolithic jnp.linalg.eigh "
+        "(fast but its one-program compile is impractical over the axon "
+        "relay past n~2e3), 'auto' = sdc on TPU else torch",
+    )
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--write-vtk", action="store_true")
     p.add_argument("--plot", action="store_true")
@@ -105,6 +125,26 @@ def main(argv=None):
             "problem sizes that would each need their own sharded program); "
             "run the sweep unsharded, or single sizes with --mesh"
         )
+    if args.mesh_file and args.mesh:
+        raise SystemExit(
+            "--mesh-file with --mesh is not supported yet: the sharded driver "
+            "dispatches on the structured spaces; run the mesh-file solve "
+            "unsharded (the user mesh would otherwise be silently dropped)"
+        )
+    if args.mesh_file and args.model == "heat":
+        raise SystemExit(
+            "--mesh-file applies to the wave model only (the heat family "
+            "builds structured spaces); the user mesh would otherwise be "
+            "silently dropped"
+        )
+    if args.mesh_file and args.sweep:
+        raise SystemExit(
+            "--mesh-file with --sweep is not supported: the sweep rebuilds "
+            "structured N_x=N_t=N problems, which would silently drop the "
+            "user mesh"
+        )
+    if args.rebuild_eig_cache:
+        return rebuild_eig_cache(args)
     # --nx default resolution: None means "not given" so per-mode defaults
     # (wave: 80, heat sweep: 128) never collide with an explicit value.
     if args.nx is None and not (args.model == "heat" and args.sweep):
@@ -203,6 +243,64 @@ def main(argv=None):
                 sol.result.residual_history, out=os.path.join(args.out, "residuals.png")
             )
     return record
+
+
+def rebuild_eig_cache(args):
+    """Regenerate the wall-stage eigenbasis cache (VERDICT r4 item 8: a
+    fresh clone must be able to rebuild the gitignored basis with an honest
+    time estimate instead of silently paying an hour inside bench.py)."""
+    import numpy as np
+
+    from optimal_control_paradiag_tpu import native
+    from optimal_control_paradiag_tpu.fem.general import boundary_nodes, make_general_space
+    from optimal_control_paradiag_tpu.models.wave import WaveControlProblem  # noqa: F401
+    from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+        build_eig_basis,
+        save_eig_basis,
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    N = args.nx if args.nx else 144
+    n = (N - 1) ** 2
+    method = args.eig_method
+    if method == "auto":
+        method = "sdc" if jax.default_backend() == "tpu" else "torch"
+    est = {
+        # measured: sdc ~3 min at n=2e4 on v5e incl. compiles; torch f32
+        # 4009 s at n=20449 on the 2-core gate host; host numpy f64 slower.
+        "sdc": max(60.0, 2.5e-12 * n**3 / 60 + 120),
+        "torch": 4.7e-10 * n**3,
+        "host": 9e-10 * n**3,
+        "device": max(30.0, 1e-12 * n**3),
+    }[method]
+    print(f"building eig basis: N={N} (n={n} interior DoFs), method={method}, "
+          f"estimated {est:.0f} s on this class of machine", flush=True)
+    pts, tris = native.unit_square_mesh(N, diagonal="left")
+    bnd = boundary_nodes(pts.shape[0], tris)
+    rng = np.random.default_rng(0)
+    pts = pts.copy()
+    pts[~bnd] += rng.uniform(-0.18 / N, 0.18 / N, size=pts[~bnd].shape)
+    sp = make_general_space(pts, tris, dtype=jnp.float32)
+    t0 = time.time()
+    basis = build_eig_basis(sp, method=method)
+    jax.block_until_ready(basis.V)
+    t_build = time.time() - t0
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "cache", f"eig_basis_N{N}.npz",
+    )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    path = save_eig_basis(cache, basis)
+    rec = {"N": N, "n": n, "method": method, "build_s": round(t_build, 1), "path": path}
+    print(json.dumps(rec, indent=2))
+    return rec
 
 
 def run_sharded(args, dtype, solver):
