@@ -1,0 +1,199 @@
+"""Blocked dense linear algebra for LARGE matrices on the TPU.
+
+Why this exists: XLA's TPU lowerings of ``triangular_solve`` and ``qr``
+with a large triangle dimension materialize one temporary per 128-row
+panel step, each of the FULL matrix width -- an O(p^3)-byte footprint.
+Measured at p = 20449 (the r5 unstructured wall size): the Cholesky
+congruence ``L^{-1} K L^{-T}`` written as two whole-matrix
+``lax.linalg.triangular_solve`` calls compiles to a program demanding
+127.2 GB of HBM on a 15.75 GB v5e (``constant_dynamic-update-slice_fusion``
+temps of shapes (p - 128 i, p) -- the compile-time OOM that killed the r4
+monolithic ``jnp.linalg.eigh`` route as well).
+
+Large MATMULS, small factorizations, and wide-RHS solves with a SMALL
+triangle are all fine. So this module re-expresses the large-triangle
+kernels as host-driven loops of exactly those pieces:
+
+- :func:`blocked_cholesky`  -- left-looking panel Cholesky: per panel one
+  (p x p)@(p x b) matmul, one b x b ``jnp.linalg.cholesky``, one b-triangle
+  wide-RHS solve. One jitted program per (p, b) via ``lax.fori_loop``.
+- :func:`tri_solve_lower`   -- L X = B (or L^T X = B) by forward/backward
+  panel substitution: per panel one (b x p)@(p x m) matmul + one b-triangle
+  solve. Handles p x p triangles at any p with O(p^2) memory.
+- :func:`cholqr2`           -- orthonormalization of a tall p x k block by
+  CholeskyQR, twice (the standard float32 stabilization): Gram matmul +
+  blocked Cholesky + blocked solve. Replaces ``jnp.linalg.qr`` wherever
+  the triangle is large.
+
+Everything is float-dtype-generic, jit-cached per shape, and runs entirely
+on device (the host only drives the program sequence). Used by the
+spectral divide-and-conquer eigensolver (paradiag/sdc.py); generic enough
+for any large symmetric-definite kernel the framework grows later.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _nblocks(p: int, b: int) -> int:
+    return -(-p // b)
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_cholesky_fn(p: int, b: int):
+    nb = _nblocks(p, b)
+    P = nb * b  # padded size
+
+    @jax.jit
+    def f(A):
+        # Pad to a multiple of b with an identity diagonal (keeps SPD).
+        if P != p:
+            A = jnp.pad(A, ((0, P - p), (0, P - p)))
+            A = A + jnp.diag(jnp.concatenate([jnp.zeros(p, A.dtype), jnp.ones(P - p, A.dtype)]))
+        L0 = jnp.zeros_like(A)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (P, b), 0)
+
+        def body(i, L):
+            c0 = i * b
+            # C = A[:, Bi] - L Lrow_i^T; Lrow_i's block-column i is still
+            # zero in the carry, so only the j < i panels contribute.
+            Apan = jax.lax.dynamic_slice(A, (0, c0), (P, b))
+            Lrow = jax.lax.dynamic_slice(L, (c0, 0), (b, P))
+            C = Apan - jnp.matmul(L, Lrow.T, precision=_HI)
+            Cd = jax.lax.dynamic_slice(C, (c0, 0), (b, b))
+            Ld = jnp.linalg.cholesky(Cd)
+            # Below-diagonal rows: C[below] Ld^{-T}; rows <= diagonal zeroed.
+            X = jax.lax.linalg.triangular_solve(
+                Ld, C, left_side=False, lower=True, transpose_a=True
+            )
+            mask = rows >= (c0 + jax.lax.broadcasted_iota(jnp.int32, (P, b), 1))
+            pan = jnp.where(mask, X, 0.0)
+            pan = jax.lax.dynamic_update_slice(pan, Ld * _tril_mask(b, Ld.dtype), (c0, 0))
+            return jax.lax.dynamic_update_slice(L, pan, (0, c0))
+
+        L = jax.lax.fori_loop(0, nb, body, L0)
+        return L[:p, :p] if P != p else L
+
+    return f
+
+
+def _tril_mask(b: int, dtype):
+    r = np.arange(b)
+    return jnp.asarray((r[:, None] >= r[None, :]).astype(np.float32)).astype(dtype)
+
+
+def blocked_cholesky(A, block: int = 1024):
+    """Lower Cholesky factor of a symmetric positive-definite device matrix,
+    any size, O(p^2) memory (module docstring)."""
+    p = int(A.shape[0])
+    if p <= block:
+        return _small_chol(p)(A)
+    return _blocked_cholesky_fn(p, block)(A)
+
+
+@functools.lru_cache(maxsize=None)
+def _small_chol(p: int):
+    return jax.jit(jnp.linalg.cholesky)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_solve_fn(p: int, m: int, b: int, transpose: bool):
+    nb = _nblocks(p, b)
+    P = nb * b
+
+    @jax.jit
+    def f(L, B):
+        if P != p:
+            L = jnp.pad(L, ((0, P - p), (0, P - p)))
+            L = L + jnp.diag(jnp.concatenate([jnp.zeros(p, L.dtype), jnp.ones(P - p, L.dtype)]))
+            B = jnp.pad(B, ((0, P - p), (0, 0)))
+        X0 = jnp.zeros_like(B)
+
+        def body(j, X):
+            i = (nb - 1 - j) if transpose else j
+            r0 = i * b
+            if transpose:
+                # (L^T X)[Bi] = L[:, Bi]^T X: uncomputed X rows are zero.
+                Lcol = jax.lax.dynamic_slice(L, (0, r0), (P, b))
+                R = jax.lax.dynamic_slice(B, (r0, 0), (b, m)) - jnp.matmul(
+                    Lcol.T, X, precision=_HI
+                )
+            else:
+                Lrow = jax.lax.dynamic_slice(L, (r0, 0), (b, P))
+                R = jax.lax.dynamic_slice(B, (r0, 0), (b, m)) - jnp.matmul(
+                    Lrow, X, precision=_HI
+                )
+            Ld = jax.lax.dynamic_slice(L, (r0, r0), (b, b))
+            Xi = jax.lax.linalg.triangular_solve(
+                Ld, R, left_side=True, lower=True, transpose_a=transpose
+            )
+            return jax.lax.dynamic_update_slice(X, Xi, (r0, 0))
+
+        X = jax.lax.fori_loop(0, nb, body, X0)
+        return X[:p] if P != p else X
+
+    return f
+
+
+def tri_solve_lower(L, B, *, block: int = 1024, transpose: bool = False):
+    """Solve ``L X = B`` (or ``L^T X = B`` with ``transpose=True``) for a
+    lower-triangular device matrix L of ANY size p and a (p, m) RHS, with
+    only b-triangle device solves inside (O(p^2 + p m) memory)."""
+    p, m = int(B.shape[0]), int(B.shape[1])
+    if p <= block:
+        return _small_tri(p, m, transpose)(L, B)
+    return _tri_solve_fn(p, m, block, transpose)(L, B)
+
+
+@functools.lru_cache(maxsize=None)
+def _small_tri(p: int, m: int, transpose: bool):
+    @jax.jit
+    def f(L, B):
+        return jax.lax.linalg.triangular_solve(
+            L, B, left_side=True, lower=True, transpose_a=transpose
+        )
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _gram_fn(p: int, k: int):
+    @jax.jit
+    def f(Y):
+        G = jnp.matmul(Y.T, Y, precision=_HI)
+        return 0.5 * (G + G.T)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _tr_fn(p: int, k: int):
+    @jax.jit
+    def f(X):
+        return X.T
+
+    return f
+
+
+def cholqr(Y, *, block: int = 1024):
+    """One CholeskyQR pass: ``Q = Y chol(Y^T Y)^{-T}`` (columns
+    orthonormalized; error ~ eps * cond(Y)^2)."""
+    p, k = int(Y.shape[0]), int(Y.shape[1])
+    G = _gram_fn(p, k)(Y)
+    L = blocked_cholesky(G, block=block)
+    Xt = tri_solve_lower(L, _tr_fn(p, k)(Y), block=block)  # L^{-1} Y^T
+    return _tr_fn(k, p)(Xt)
+
+
+def cholqr2(Y, *, block: int = 1024):
+    """CholeskyQR2 (two passes): float32-stable orthonormalization of a tall
+    full-rank block -- the large-triangle-safe replacement for
+    ``jnp.linalg.qr`` (module docstring)."""
+    return cholqr(cholqr(Y, block=block), block=block)

@@ -76,3 +76,119 @@ def time_fft_real_part_mm(x: jnp.ndarray, C, S) -> jnp.ndarray:
     return jnp.einsum("kt,ctn->ckn", C, x.real, precision=_HI) + jnp.einsum(
         "kt,ctn->ckn", S, x.imag, precision=_HI
     )
+
+
+# ---------------------------------------------------------------------------
+# Four-step (Cooley-Tukey N = a*b) time transforms as small-radix MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# The r4 headline breakdown measured jnp.fft's rfft+irfft roundtrip at
+# 1.10 ms for a 16.8 MB state on the v5e -- ~60 GB/s effective, 7% of HBM
+# peak: XLA's TPU FFT is scalar-ish VPU work. The same transform as TWO
+# small-radix DFT matmul stages (radix ~ sqrt(N_t)) with a twiddle multiply
+# in between is a few 1e9 MXU flops plus ~7 streaming passes over the state
+# -- bandwidth-bound at speed of light instead of compute-bound at VPU
+# speed. Conventions below match the half-spectrum Woodbury pipeline
+# (paradiag/spectral.py make_halfspectrum_transforms):
+#
+#   forward:  xi = conj(rfft(x, axis=1)) / N        (keep K = N//2 + 1 bins)
+#   inverse:  x  = irfft(conj(xi), n=N, axis=1) * N (real output)
+#
+# Derivation (t = t1 + a*t2, k = k1*b + k2, omega = e^{+2 pi i / N} -- the
+# CONJUGATED-forward sign):
+#   X[k2 + b*k1] = sum_{t1} omega_a^{t1 k1} [ omega_N^{t1 k2} *
+#                  sum_{t2} omega_b^{t2 k2} x[t1 + a t2] ]
+# i.e. stage 1 = radix-b DFT over t2, twiddle, stage 2 = radix-a DFT over
+# t1; the inverse factorizes symmetrically after Hermitian extension of the
+# conjugated half spectrum. All matrices are real cos/sin host constants;
+# complex arithmetic is explicit split-real (complex matmuls do not lower
+# on the TPU backend).
+
+
+def factor_pair(N: int) -> Tuple[int, int]:
+    """(a, b) with a*b = N and a <= b as close to sqrt(N) as N's divisors
+    allow (a is the stage-2 radix, b the stage-1 radix)."""
+    a = int(np.sqrt(N))
+    while a > 1 and N % a:
+        a -= 1
+    return a, N // a
+
+
+class FourStepPlan:
+    """Host-constant matrices of the four-step time transforms for one
+    (N, dtype). Build once at setup; all fields are numpy (jit-embeddable)."""
+
+    def __init__(self, N: int, rdtype):
+        a, b = factor_pair(N)
+        if a < 2:
+            raise ValueError(f"N={N} has no nontrivial factorization; use the fft path")
+        self.N, self.a, self.b, self.K = N, a, b, N // 2 + 1
+        tb = np.arange(b)
+        ta = np.arange(a)
+        # stage-1 forward: radix-b DFT over t2, scaled by 1/N (fold the rfft
+        # conj convention's 1/N here, where the operand is still real).
+        ang_b = 2.0 * np.pi * np.outer(tb, tb) / b
+        self.Cb = host_const(np.cos(ang_b) / N, rdtype)
+        self.Sb = host_const(np.sin(ang_b) / N, rdtype)
+        # twiddle W[k2, t1] = omega_N^{k2 t1}
+        ang_w = 2.0 * np.pi * np.outer(tb, ta) / N
+        self.Wre = host_const(np.cos(ang_w), rdtype)
+        self.Wim = host_const(np.sin(ang_w), rdtype)
+        # stage-2 forward: radix-a DFT over t1
+        ang_a = 2.0 * np.pi * np.outer(ta, ta) / a
+        self.Ca = host_const(np.cos(ang_a), rdtype)
+        self.Sa = host_const(np.sin(ang_a), rdtype)
+        # inverse reuses the same (unscaled) radix matrices; the forward's
+        # 1/N and the inverse's *N cancel by construction.
+        self.Cb1 = host_const(np.cos(ang_b), rdtype)
+        self.Sb1 = host_const(np.sin(ang_b), rdtype)
+
+
+def time_rfft_conj_mm4(x: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
+    """``conj(rfft(x, axis=1)) / N`` of a real ``(c, N, n)`` state via the
+    four-step factorization (module note). Returns ``(c, K, n)`` complex."""
+    c, N, n = x.shape
+    x4 = x.reshape(c, p.b, p.a, n)  # [t2, t1]
+    yre = jnp.einsum("KT,cTan->cKan", p.Cb, x4, precision=_HI)
+    yim = jnp.einsum("KT,cTan->cKan", p.Sb, x4, precision=_HI)
+    zre = yre * p.Wre[None, :, :, None] - yim * p.Wim[None, :, :, None]
+    zim = yre * p.Wim[None, :, :, None] + yim * p.Wre[None, :, :, None]
+    Xre = jnp.einsum("AT,cKTn->cAKn", p.Ca, zre, precision=_HI) - jnp.einsum(
+        "AT,cKTn->cAKn", p.Sa, zim, precision=_HI
+    )
+    Xim = jnp.einsum("AT,cKTn->cAKn", p.Ca, zim, precision=_HI) + jnp.einsum(
+        "AT,cKTn->cAKn", p.Sa, zre, precision=_HI
+    )
+    X = jax.lax.complex(Xre.reshape(c, N, n), Xim.reshape(c, N, n))
+    return X[:, : p.K]
+
+
+def time_irfft_conj_mm4(xi: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
+    """``irfft(conj(xi), n=N, axis=1) * N`` of a ``(c, K, n)`` half spectrum
+    via the four-step factorization; returns the real ``(c, N, n)`` state."""
+    c, K, n = xi.shape
+    N = p.N
+    # Hermitian extension of conj(xi): Z[k] = conj(xi)[k] for k < K,
+    # Z[N-k] = xi[k] for the mirrored bins (works for N odd and even).
+    mre, mim = xi.real[:, 1 : N - K + 1], xi.imag[:, 1 : N - K + 1]
+    Zre = jnp.concatenate([xi.real, jnp.flip(mre, axis=1)], axis=1)
+    Zim = jnp.concatenate([-xi.imag, jnp.flip(mim, axis=1)], axis=1)
+    Z4re = Zre.reshape(c, p.a, p.b, n)  # [k1, k2]
+    Z4im = Zim.reshape(c, p.a, p.b, n)
+    # stage 1: radix-a DFT over k1 (output index t1)
+    are = jnp.einsum("TA,cAKn->cTKn", p.Ca, Z4re, precision=_HI) - jnp.einsum(
+        "TA,cAKn->cTKn", p.Sa, Z4im, precision=_HI
+    )
+    aim = jnp.einsum("TA,cAKn->cTKn", p.Ca, Z4im, precision=_HI) + jnp.einsum(
+        "TA,cAKn->cTKn", p.Sa, Z4re, precision=_HI
+    )
+    # twiddle W[k2, t1] applied as [t1, k2]
+    wre = jnp.swapaxes(p.Wre, 0, 1)[None, :, :, None]
+    wim = jnp.swapaxes(p.Wim, 0, 1)[None, :, :, None]
+    bre = are * wre - aim * wim
+    bim = are * wim + aim * wre
+    # stage 2: radix-b DFT over k2, REAL part only (output index t2)
+    out = jnp.einsum("TK,ctKn->cTtn", p.Cb1, bre, precision=_HI) - jnp.einsum(
+        "TK,ctKn->cTtn", p.Sb1, bim, precision=_HI
+    )
+    return out.reshape(c, N, n)

@@ -194,11 +194,19 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
     ``method``: 'host' (float64 numpy; exact-to-rounding, O(n^3) on 2 cores
     -- the test/small path), 'device' (float32 TPU eigh -- one MXU program;
     pays a remote compile on the axon relay), 'torch' (float32 host via
-    torch's multithreaded LAPACK -- the compile-free at-scale path), 'auto'
-    (host below n=1500, torch above)."""
+    torch's multithreaded LAPACK), 'sdc' (blocked spectral
+    divide-and-conquer ON DEVICE, paradiag/sdc.py -- small static-shape
+    programs, so it scales past the monolithic eigh's compile wall: the
+    at-scale TPU path, minutes at n=2e4 vs ~67 min for host torch), 'auto'
+    (host below n=1500; above: sdc on a TPU backend, else torch)."""
     n = space.n
     if method == "auto":
-        method = "host" if n <= 1500 else "torch"
+        if n <= 1500:
+            method = "host"
+        else:
+            import jax as _jax
+
+            method = "sdc" if _jax.default_backend() == "tpu" else "torch"
     if method == "torch":
         try:
             import torch  # noqa: F401
@@ -223,6 +231,10 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
         Vd = to_device(V, space.dtype)
     elif method == "device":
         lam, Vd = pencil_eig_device(M, K, space.dtype)
+    elif method == "sdc":
+        from optimal_control_paradiag_tpu.paradiag.sdc import pencil_eig_sdc
+
+        lam, Vd = pencil_eig_sdc(M, K, space.dtype)
     else:
         raise ValueError(f"unknown eig method {method!r}")
     return EigBasisSpace(base=space, lam=lam, V=Vd)

@@ -392,7 +392,14 @@ def make_halfspectrum_transforms(
     matrices -- REQUIRED under a :class:`parallel.sharding.ParallelLayout`
     (XLA's SPMD partitioning of complex FFTs miscompiles), where each
     einsum's output is pinned to its stage layout so the transitions lower
-    to explicit all-to-alls instead of full-state replication."""
+    to explicit all-to-alls instead of full-state replication.
+
+    ``time_transform='mxu'`` (single-device): the four-step Cooley-Tukey
+    factorization of the same rfft/irfft as TWO radix-~sqrt(N_t) MXU
+    matmul stages with a twiddle multiply between
+    (``ops.transforms.FourStepPlan``) -- O(N_t^1.5 n) flops instead of the
+    dft variant's O(N_t^2 n), and bandwidth-bound streaming instead of
+    jnp.fft's ~60 GB/s VPU path (the r4 breakdown's 1.10 ms roundtrip)."""
     sp = space
     K = N_t // 2 + 1
     if layout is None:
@@ -440,6 +447,27 @@ def make_halfspectrum_transforms(
             t = lay.time_local(t)
             out = lay.mode_local(sp.idst(lay.mode_local(t)).astype(rdtype))
             return lay.canonical(out)
+
+    elif time_transform == "mxu":
+        from optimal_control_paradiag_tpu.ops.transforms import (
+            FourStepPlan,
+            time_irfft_conj_mm4,
+            time_rfft_conj_mm4,
+        )
+
+        try:
+            plan4 = FourStepPlan(N_t, rdtype)
+        except ValueError:
+            # prime N_t has no radix split: the rfft path is the fallback
+            return make_halfspectrum_transforms(
+                sp, N_t, rdtype, layout=None, time_transform="fft"
+            )
+
+        def to_spectral(x):
+            return time_rfft_conj_mm4(sp.dst(x), plan4)
+
+        def from_spectral(xi):
+            return sp.idst(time_irfft_conj_mm4(xi, plan4)).astype(rdtype)
 
     else:
 
@@ -595,8 +623,11 @@ def build_woodbury_solver(
     transform there), so the multi-chip direct solve keeps the 2x saving."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
-    if time_transform not in ("fft", "dft"):
+    if time_transform not in ("fft", "dft", "mxu"):
         raise ValueError(f"unknown time_transform {time_transform!r}")
+    if time_transform == "mxu" and layout is not None:
+        raise ValueError("time_transform='mxu' is the single-device fast path; "
+                         "sharded runs use 'dft'")
     if half_spectrum is None:
         half_spectrum = True
     pl = _spectral_plan(op)
@@ -604,6 +635,9 @@ def build_woodbury_solver(
         return _build_woodbury_half(
             op, pl, refine, time_transform=time_transform, layout=layout
         )
+    if time_transform == "mxu":
+        raise ValueError("time_transform='mxu' is implemented for the "
+                         "half-spectrum pipeline (the default)")
     A_hat, D_inv, to_spectral, from_spectral = _make_ops(
         op, pl, layout=layout, time_transform=time_transform
     )

@@ -41,6 +41,21 @@ def test_half_spectrum_dft_matches_fft(kw):
     np.testing.assert_allclose(np.asarray(x_dft), np.asarray(x_fft), rtol=1e-11, atol=1e-13)
 
 
+@pytest.mark.parametrize("kw", CASES)
+def test_half_spectrum_mxu_matches_fft(kw):
+    """The four-step MXU matmul time transform (r5 headline fast path;
+    ops/transforms.py FourStepPlan) is equivalent to the rfft/irfft form,
+    odd and even N_t, square and rectangular radix factorizations."""
+    import jax.numpy as jnp
+
+    prob = WaveControlProblem(ProblemConfig(**kw))
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(prob.operator.shape))
+    x_fft = build_woodbury_solver(prob.operator, refine=1, time_transform="fft")(b)
+    x_mxu = build_woodbury_solver(prob.operator, refine=1, time_transform="mxu")(b)
+    np.testing.assert_allclose(np.asarray(x_mxu), np.asarray(x_fft), rtol=1e-10, atol=1e-12)
+
+
 @pytest.mark.parametrize("kw", CASES, ids=[str(i) for i in range(len(CASES))])
 def test_woodbury_matches_dense_lu(kw):
     prob = WaveControlProblem(ProblemConfig(**kw))
