@@ -244,9 +244,51 @@ def main(argv=None):
             ),
         }
 
+    def stage_unstructured_eig():
+        """UNSTRUCTURED family under the mesh (VERDICT r4 item 2): the
+        pencil-eigenbasis Woodbury direct solve on a perturbed triangle
+        mesh, sharded through the standard diagonalizable stage layouts
+        (V-matmuls partition; rank-4 phase-sums become cross-shard
+        reductions). n = (N-1)^2 chosen divisible by every mesh axis."""
+        from optimal_control_paradiag_tpu import native
+
+        if not native.available():
+            return {"skipped": "native toolchain unavailable"}
+        from optimal_control_paradiag_tpu.fem.general import (
+            boundary_nodes,
+            make_general_space,
+        )
+        from optimal_control_paradiag_tpu.paradiag.eigbasis import build_eig_basis
+
+        rng = np.random.default_rng(0)
+        N_g = 17 if virtual else 33  # n = 256 / 1024 interior DoFs
+        pts, tris = native.unit_square_mesh(N_g, diagonal="left")
+        bnd = boundary_nodes(pts.shape[0], tris)
+        pts = pts.copy()
+        pts[~bnd] += rng.uniform(-0.18 / N_g, 0.18 / N_g, size=pts[~bnd].shape)
+        spg = make_general_space(pts, tris, dtype=jnp.float32)
+        basis = build_eig_basis(spg, method="host")
+        probg = WaveControlProblem(
+            ProblemConfig(N_x=N_g, N_t=N_t, dim=2, dtype=jnp.float32), space=basis
+        )
+        rung, shg = make_sharded_solver(probg, SolverConfig(method="woodbury"), layout)
+        bg = jax.device_put(probg.rhs, shg) if shg is not None else probg.rhs
+        x, _ = rung(bg)
+        jax.block_until_ready(x)
+        rel = probg.relative_residual_f64(WaveSolution(u=x[0], p=x[1], result=None))
+        ms = _chain_time(lambda bb: rung(bb)[0], bg, args.chain, args.reps) * 1e3
+        counts = count_collectives(rung, bg)
+        return {
+            "n_interior": spg.n,
+            "rel_f64": rel,
+            "ms_per_solve": round(ms, 3),
+            **counts,
+        }
+
     guard("sharded_wave_woodbury", stage_wave_wb)
     guard("sharded_wave_gmres", stage_wave_gmres)
     guard("sharded_heat_woodbury", stage_heat_wb)
+    guard("sharded_unstructured_eig", stage_unstructured_eig)
     guard("collectives", stage_collectives)
     guard("uneven_shards", stage_uneven_shards)
     record["total_wall_s"] = round(time.time() - t0, 1)

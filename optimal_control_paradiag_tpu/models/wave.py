@@ -476,7 +476,10 @@ class WaveControlProblem:
         scale = math.sqrt(self.config.gamma) if self.config.scaled else 1.0
         x = np.stack([np.asarray(sol.u, np.float64) * scale, np.asarray(sol.p, np.float64)])
         b = np.asarray(self.rhs, np.float64)
-        if self.space.diagonalizable:
+        # The spectral oracle needs a sine-diagonalizable STRUCTURED grid
+        # (it DSTs over grid_shape); an EigBasisSpace is diagonalizable but
+        # general -- route it to the space-generic numpy matvec twin.
+        if self.space.diagonalizable and hasattr(self.space, "grid_shape"):
             from optimal_control_paradiag_tpu.paradiag.spectral import (
                 spectral_relative_residual,
             )
