@@ -593,12 +593,19 @@ def stage_breakdown(prob):
 
 
 def stage_heat_2d():
-    """Heat family in 2D on hardware (r4: the 2D manufactured validation,
-    VERDICT item 3, measured on-device): lumped 2D rank-2 SMW direct solve
-    at N_x=256, N_t=64 (8.3M DoFs) with the REAL error metric vs the
-    separable product-sine manufactured solution."""
+    """Heat family in 2D on hardware: lumped 2D rank-2 SMW direct solve at
+    N_x=256, N_t=64 (8.3M DoFs) with the REAL error metric vs the separable
+    product-sine manufactured solution. r5 (VERDICT r4 item 5) adds the
+    full ladder on-device: (a) the polish/dword accuracy rung (gate:
+    rel_f64_dword <= 1e-6 -- reference complex128 parity in kind,
+    Control_Wave_PC.py:372), and (b) a SECOND tau (N_t=128, same N_x) so
+    backward Euler's O(tau) order is visible in the artifact itself
+    (expected error ratio ~2)."""
+    import math
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from optimal_control_paradiag_tpu import ProblemConfig
     from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
@@ -610,17 +617,72 @@ def stage_heat_2d():
     b = prob.rhs
     x = wb(b)
     x.block_until_ready()
-    import math
 
     s = math.sqrt(prob.config.gamma)
     sol = HeatSolution(u=x[0] / s, p=x[1], result=None)
     rel = prob.relative_residual_f64(sol)
     err = prob.error_vs_analytic(sol)
     ms = _chain_time(wb, b, chain=20, reps=REPS) * 1e3
-    return {
+    # (a) dword ladder on the same 2D problem.
+    pol = jax.jit(prob.build_polished_solver(polish=1, dword=True))
+    xe = pol(b)
+    jax.block_until_ready(xe)
+    xs = np.asarray(xe[0], np.float64) + np.asarray(xe[1], np.float64)
+    bb = np.asarray(b, np.float64)
+    rr = prob.matvec_host_f64(xs) - bb
+    rel_dword = float(np.linalg.norm(rr.ravel()) / np.linalg.norm(bb.ravel()))
+    # (b) second tau on hardware: N_t doubled -> error should halve (O(tau)).
+    prob2 = HeatControlProblem(
+        ProblemConfig(N_x=256, N_t=128, dim=2, mass="lumped", dtype=jnp.float32)
+    )
+    x2 = jax.jit(prob2.build_woodbury_solver(refine=1))(prob2.rhs)
+    jax.block_until_ready(x2)
+    sol2 = HeatSolution(u=x2[0] / s, p=x2[1], result=None)
+    err2 = prob2.error_vs_analytic(sol2)
+    out = {
         "n_dofs": 2 * prob.config.N_t * prob.space.n,
         "rel_f64": rel,
+        "rel_f64_dword": rel_dword,
         "error_vs_analytic_2d": err,
+        "error_vs_analytic_2d_Nt128": err2,
+        "tau_order_ratio": round(err / err2, 2) if err2 else None,
+        "ms_per_solve": round(ms, 3),
+    }
+    if rel_dword > 1e-6:
+        out["gate_failed_dword"] = f"heat 2D dword rel {rel_dword:.3e} > 1e-6"
+    return out
+
+
+def stage_heat_2d_consistent():
+    """2D CONSISTENT-mass heat on hardware (VERDICT r4 item 5): GMRES on
+    the true operator preconditioned by the EXACT tensor-mass surrogate SMW
+    direct solve (HeatControlProblem.build_tensor_gmres_solver) --
+    mesh-independent iterations, mirroring the wave family's
+    consistent_2d_woodbury stage. N_x=192, N_t=128 (9.3M DoFs), f32."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from optimal_control_paradiag_tpu import ProblemConfig
+    from optimal_control_paradiag_tpu.models.heat import HeatControlProblem, HeatSolution
+
+    prob = HeatControlProblem(
+        ProblemConfig(N_x=192, N_t=128, dim=2, mass="consistent", dtype=jnp.float32)
+    )
+    solve = prob.build_tensor_gmres_solver(rtol=1e-5, maxiter=30, with_result=True)
+    run = jax.jit(solve)
+    b = prob.rhs
+    x, res = run(b)
+    jax.block_until_ready(x)
+    s = math.sqrt(prob.config.gamma)
+    sol = HeatSolution(u=x[0] / s, p=x[1], result=None)
+    rel = prob.relative_residual_f64(sol)
+    ms = _chain_time(lambda bb: run(bb)[0], b, chain=10, reps=REPS) * 1e3
+    return {
+        "n_dofs": 2 * prob.config.N_t * prob.space.n,
+        "iters": int(res.iterations),
+        "rel_f64": rel,
         "ms_per_solve": round(ms, 3),
     }
 
@@ -668,21 +730,30 @@ def stage_unstructured_eig():
         ProblemConfig(N_x=N, N_t=N_t, dim=2, dtype=jnp.float32), space=sp
     )
     t0 = time.time()
-    cache = os.path.join(_HERE, "artifacts", "cache", f"eig_basis_N{N}.npz")
-    cached = os.path.exists(cache)
-    if cached:
-        basis = load_eig_basis(cache, sp)
+    setup_method = None
+    if jax.default_backend() == "tpu":
+        # r5 (VERDICT r4 item 1): the blocked spectral divide-and-conquer
+        # eigh runs the whole pencil factorization ON DEVICE in minutes
+        # (paradiag/sdc.py) -- the stage now PAYS and RECORDS the setup
+        # every run instead of hiding a 67-minute host eigh behind a
+        # machine-local cache (r4's reproducibility gap, item 8).
+        from optimal_control_paradiag_tpu.paradiag.sdc import sdc_eigh
+
+        basis = build_eig_basis(sp, method="sdc")
+        setup_method = {"method": "sdc", **{
+            k: v for k, v in sdc_eigh.last_stats.items() if k != "ns_iters"
+        }}
     else:
-        # 'torch': host f32 pencil eigh -- measured ~75 min at this n on
-        # the 2-core gate host (LAPACK ssyevd is mostly BLAS-2 there); the
-        # 'device' MXU eigh is fast to n~2e3 (115 s incl compile) but its
-        # remote compile on the axon relay is impractical at n=2e4. The
-        # result is CACHED on disk (gitignored, machine-local), so repeat
-        # bench runs -- including the driver's -- load it in seconds; the
-        # guard's est_s reflects whichever case applies.
-        basis = build_eig_basis(sp, method="torch")
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        save_eig_basis(cache, basis)
+        # CPU/logic runs: the cached basis (or the slow host build).
+        cache = os.path.join(_HERE, "artifacts", "cache", f"eig_basis_N{N}.npz")
+        if os.path.exists(cache):
+            basis = load_eig_basis(cache, sp)
+            setup_method = {"method": "disk_cache"}
+        else:
+            basis = build_eig_basis(sp, method="torch")
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            save_eig_basis(cache, basis)
+            setup_method = {"method": "torch"}
     basis.V.block_until_ready()
     t_eig = time.time() - t0
     # Richardson args-form (build_eig_direct_fn): one W apply + 'steps'
@@ -723,7 +794,7 @@ def stage_unstructured_eig():
         "n_interior": sp.n,
         "n_dofs": 2 * N_t * sp.n,
         "eig_setup_s": round(t_eig, 1),
-        "eig_cached": cached,
+        "eig_setup": setup_method,
         "richardson_steps": steps,
         "rel_f64": rel,
         "ms_per_solve": round(ms, 3),
@@ -958,26 +1029,31 @@ def main():
             write_suite()
             guard("heat_woodbury", stage_heat, est_s=90)
             write_suite()
-            guard("heat_2d_woodbury", stage_heat_2d, est_s=90)
+            guard("heat_2d_woodbury", stage_heat_2d, est_s=150)
+            write_suite()
+            guard("heat_2d_consistent", stage_heat_2d_consistent, est_s=120)
             write_suite()
             # est 150: measured 105 s on the relay once the factor tensors
             # ship as executable parameters instead of embedded constants
             # (was ~774 s with constant-folding; tpu_bench_r3.md).
             guard("unstructured_blockband", stage_unstructured, est_s=150)
             write_suite()
-            # Wall-size unstructured direct solve (n=20449, N_t=64). With
-            # the cached eigenbasis on disk the stage costs ~4 min (load +
-            # TPU compiles); a cold cache means the ~75 min host eigh, which
-            # no budget accommodates -- the guard then skips and the
-            # committed artifact (artifacts/experiments/tpu_bench_r4.md)
-            # carries the recorded run.
+            # Wall-size unstructured direct solve (n=20449, N_t=64). On a
+            # TPU backend the stage BUILDS the basis by on-device SDC and
+            # records the setup time (r5; ~3-6 min incl. first-run
+            # compiles, seconds of device time warm-cache). On CPU logic
+            # runs it needs the disk cache or the ~75 min host eigh, which
+            # no budget accommodates -- the guard then skips.
+            import jax as _jax
+
             _eig_cache = os.path.join(
                 _HERE, "artifacts", "cache", "eig_basis_N144.npz"
             )
+            _tpu = _jax.default_backend() == "tpu"
             guard(
                 "unstructured_eig_wall",
                 stage_unstructured_eig,
-                est_s=240 if os.path.exists(_eig_cache) else 4800,
+                est_s=600 if _tpu else (240 if os.path.exists(_eig_cache) else 4800),
             )
         except Exception as exc:  # noqa: BLE001  (headline already printed)
             suite["suite_error"] = f"{type(exc).__name__}: {exc}"[:400]

@@ -41,6 +41,20 @@ import numpy as np
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Fully synchronous dispatch: on the axon relay, compile RPCs issued while
+# previously-dispatched heavy programs are still executing crash the TPU
+# worker ("kernel fault" after ~minutes of the SDC recursion; isolated
+# stress tests of the same programs with per-call blocking never crash).
+# Every public entry point here therefore fences its result before
+# returning -- the calls are seconds-scale, so serialization is free.
+SYNC = True
+
+
+def _fence(x):
+    if SYNC:
+        jax.block_until_ready(x)
+    return x
+
 
 def _nblocks(p: int, b: int) -> int:
     return -(-p // b)
@@ -94,8 +108,8 @@ def blocked_cholesky(A, block: int = 1024):
     any size, O(p^2) memory (module docstring)."""
     p = int(A.shape[0])
     if p <= block:
-        return _small_chol(p)(A)
-    return _blocked_cholesky_fn(p, block)(A)
+        return _fence(_small_chol(p)(A))
+    return _fence(_blocked_cholesky_fn(p, block)(A))
 
 
 @functools.lru_cache(maxsize=None)
@@ -148,8 +162,8 @@ def tri_solve_lower(L, B, *, block: int = 1024, transpose: bool = False):
     only b-triangle device solves inside (O(p^2 + p m) memory)."""
     p, m = int(B.shape[0]), int(B.shape[1])
     if p <= block:
-        return _small_tri(p, m, transpose)(L, B)
-    return _tri_solve_fn(p, m, block, transpose)(L, B)
+        return _fence(_small_tri(p, m, transpose)(L, B))
+    return _fence(_tri_solve_fn(p, m, block, transpose)(L, B))
 
 
 @functools.lru_cache(maxsize=None)
@@ -168,7 +182,13 @@ def _gram_fn(p: int, k: int):
     @jax.jit
     def f(Y):
         G = jnp.matmul(Y.T, Y, precision=_HI)
-        return 0.5 * (G + G.T)
+        G = 0.5 * (G + G.T)
+        # Tiny relative ridge: keeps the f32 Cholesky of a
+        # near-rank-deficient Gram finite (CholQR's orthogonality defect
+        # from the ridge is second-order and the second CholQR pass removes
+        # it entirely).
+        ridge = 8.0 * jnp.finfo(G.dtype).eps * jnp.max(jnp.diagonal(G))
+        return G + ridge * jnp.eye(G.shape[0], dtype=G.dtype)
 
     return f
 
@@ -186,10 +206,10 @@ def cholqr(Y, *, block: int = 1024):
     """One CholeskyQR pass: ``Q = Y chol(Y^T Y)^{-T}`` (columns
     orthonormalized; error ~ eps * cond(Y)^2)."""
     p, k = int(Y.shape[0]), int(Y.shape[1])
-    G = _gram_fn(p, k)(Y)
+    G = _fence(_gram_fn(p, k)(Y))
     L = blocked_cholesky(G, block=block)
     Xt = tri_solve_lower(L, _tr_fn(p, k)(Y), block=block)  # L^{-1} Y^T
-    return _tr_fn(k, p)(Xt)
+    return _fence(_tr_fn(k, p)(Xt))
 
 
 def cholqr2(Y, *, block: int = 1024):

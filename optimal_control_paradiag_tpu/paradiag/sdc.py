@@ -79,6 +79,14 @@ _HI = jax.lax.Precision.HIGHEST
 _BLOCK = 1024  # inner triangle size for the blocked kernels
 
 
+def _fence(x):
+    """Fully synchronous dispatch (see ops/blocked.py SYNC note): on the
+    axon relay, compile RPCs racing in-flight heavy executions crash the
+    TPU worker; fencing each unit call serializes compile and execute."""
+    jax.block_until_ready(x)
+    return x
+
+
 # --------------------------------------------------------------- jit units
 
 
@@ -87,22 +95,41 @@ def _diag_stats_fn(p: int):
     @jax.jit
     def f(S):
         d = jnp.diagonal(S)
-        return jnp.median(d), jnp.max(jnp.sum(jnp.abs(S), axis=1))
+        return (
+            jnp.median(d),
+            jnp.max(jnp.sum(jnp.abs(S), axis=1)),
+            jnp.linalg.norm(S),
+        )
 
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _sign_ns_fn(p: int, maxiter: int = 60, polish: int = 3):
+def _sign_ns_fn(p: int, maxiter: int = 110, polish: int = 3):
     """U ~ sign(S - sigma I) by scaled Newton-Schulz; returns (U, tr U,
     ||U^2 - I||_F of the LAST high-precision iterate)."""
 
     @jax.jit
     def f(S, sigma):
         A = S - sigma * jnp.eye(p, dtype=S.dtype)
-        # alpha >= ||A||_2 via the 1-norm/inf-norm bound (A symmetric:
-        # both equal the max row sum).
-        alpha = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), 1e-30)
+        # alpha ~ ||A||_2 by power iteration (x1.25 safety: NS diverges past
+        # sqrt(3), and an UNDERestimate is fatal while an overestimate only
+        # costs ~log1.5 of the slack in iterations). The max-row-sum bound
+        # used before overestimates ||A||_2 of the dense rotated blocks
+        # (Q^T S Q is Gaussian-like) by ~sqrt(2p/pi) -- at p ~ 1e4 that is
+        # ~80x, which burned the whole iteration budget just recovering the
+        # scale and sent NaNs downstream (r5 wall run, p=5216 block).
+        v0 = jnp.sum(jnp.abs(A), axis=1)
+        v0 = v0 / jnp.linalg.norm(v0)
+
+        def pow_body(_, vn):
+            v, _ = vn
+            w = jnp.matmul(A, v, precision=_HI)
+            nw = jnp.linalg.norm(w)
+            return w / jnp.maximum(nw, 1e-30), nw
+
+        _, a2 = jax.lax.fori_loop(0, 16, pow_body, (v0, jnp.asarray(1.0, S.dtype)))
+        alpha = jnp.maximum(1.25 * a2, 1e-30)
         X0 = A / alpha
         eye = jnp.eye(p, dtype=S.dtype)
         tol = 10.0 * jnp.finfo(S.dtype).eps * p**0.5
@@ -173,24 +200,27 @@ def _bucket(p: int, base_size: int) -> int:
     return min(b, base_size)
 
 
-@functools.lru_cache(maxsize=None)
-def _eigh_base_fn(p: int, P: int):
-    """Direct eigh of a p x p block PADDED to the bucket size P (identity
-    tail scaled above the spectrum so the pad eigenpairs sort last) --
-    bounds the number of distinct eigh compiles to the ~4 bucket sizes."""
+def _eigh_base(S, p: int, base_size: int):
+    """Direct eigh of a <= base_size block, on the HOST in float64.
 
-    @jax.jit
-    def f(S):
-        if P == p:
-            return jnp.linalg.eigh(S)
-        bound = jnp.max(jnp.sum(jnp.abs(S), axis=1)) + 1.0
-        Sp = jnp.pad(S, ((0, P - p), (0, P - p)))
-        tail = jnp.concatenate([jnp.zeros(p, S.dtype), jnp.full(P - p, bound, S.dtype)])
-        Sp = Sp + jnp.diag(tail)
-        lam, V = jnp.linalg.eigh(Sp)
-        return lam[:p], V[:p, :p]
-
-    return f
+    Why host LAPACK and not ``jnp.linalg.eigh``: the top of a FEM pencil's
+    spectrum is a wall of near-degenerate clusters (near-identical local
+    element configurations), and the device eigh's data-dependent inner
+    iteration spins on exactly those blocks until the relay's execution
+    watchdog kills the TPU worker -- observed reproducibly at the r5 wall
+    run (the depth-3 p=1402 high-spectrum leaf died three runs in a row,
+    with both degenerate and spread bucket padding, while its low-spectrum
+    siblings sailed through). LAPACK's tridiagonal D&C handles clusters in
+    guaranteed O(p^3); at p <= 2048 that is 2-4 s on this host, ~1 min
+    summed over all leaves -- noise against the device-side recursion, and
+    it upgrades the leaf eigenbases to float64 accuracy for free. The
+    device keeps 100% of the O(n^3) splitting work (signs, range finders,
+    congruences)."""
+    Sh = np.asarray(S, np.float64)
+    Sh = 0.5 * (Sh + Sh.T)
+    lam, V = np.linalg.eigh(Sh)
+    dtype = S.dtype
+    return to_device(lam, dtype), to_device(V, dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -249,18 +279,38 @@ def sdc_eigh(
     }
     if _stats is None:
         sdc_eigh.last_stats = stats
+    verbose = bool(int(__import__("os").environ.get("SDC_VERBOSE", "0")))
     if p <= base_size:
-        return _eigh_base_fn(p, _bucket(p, base_size))(S)
+        if verbose:
+            print(f"[sdc] base eigh p={p} (bucket {_bucket(p, base_size)})", flush=True)
+        return _eigh_base(S, p, base_size)
 
-    med, rbound = (float(x) for x in _diag_stats_fn(p)(S))
+    med, rbound, froS = (float(x) for x in _fence(_diag_stats_fn(p)(S)))
     # Gershgorin-style interval containing the spectrum, for bisection.
     blo, bhi = med - rbound, med + rbound
     sigma = med
     sign = _sign_ns_fn(p)
     U = k = None
     for probe in range(max_bisect + 1):
-        U_c, trU, defect, ns_it = sign(S, sigma)
-        kk = int(round(0.5 * (p - float(trU))))
+        if verbose:
+            print(f"[sdc] sign p={p} depth={_depth} probe={probe} sigma={sigma:.4g}", flush=True)
+        U_c, trU, defect, ns_it = _fence(sign(S, sigma))
+        if not np.isfinite(float(trU)) or not float(defect) < 1e-2:
+            raise RuntimeError(
+                f"sdc_eigh: sign iteration failed at block p={p} "
+                f"(sigma={sigma:.6g}, defect={float(defect):.3e}, "
+                f"iters={int(ns_it)}) -- an eigenvalue may sit at machine "
+                f"distance from sigma; this guard stops NaNs propagating "
+                f"silently into the basis"
+            )
+        # Parity-corrected count: tr U = (#above - #below) has the parity
+        # of p exactly; rounding the f32 trace to the nearest
+        # correct-parity integer removes the +-0.5 ambiguity of
+        # half-converged near-sigma eigenvalues.
+        t_int = int(round(float(trU)))
+        if (p - t_int) % 2:
+            t_int += 1 if float(trU) > t_int else -1
+        kk = (p - t_int) // 2
         kk = max(0, min(p, kk))
         stats["bisect_probes"] += 1 if probe else 0
         stats["max_defect"] = max(stats["max_defect"], float(defect))
@@ -284,18 +334,45 @@ def sdc_eigh(
             f"(spectrum may be a single numerical cluster); lower base_size or "
             f"use a direct eigh"
         )
+    # ---- verified split: the f32 trace can still miscount k by one, and a
+    # rank-mismatched range finder injects a junk direction whose coupling
+    # to the complement is O(lambda_max) -- caught here by the off-diagonal
+    # norm of the decoupled congruence and retried with k +- 1 (the r5 wall
+    # run's 4.2e6 off-diagonal was exactly this failure, silent before).
     sd = int(seed + 7919 * _depth + p)
-    Y1 = _range_fn(p, k, True)(S, U, np.int32(sd))
-    Y2 = _range_fn(p, p - k, False)(S, U, np.int32(sd + 1))
+    tol_rel, best = 3e-3, None
+    for attempt, dk in enumerate((0, 1, -1, 2, -2)):
+        kk = k + dk
+        if not 0 < kk < p:
+            continue
+        Y1 = _fence(_range_fn(p, kk, True)(S, U, np.int32(sd + 2 * attempt)))
+        Y2 = _fence(_range_fn(p, p - kk, False)(S, U, np.int32(sd + 2 * attempt + 1)))
+        Q1 = cholqr2(Y1, block=_BLOCK)
+        Q2 = cholqr2(Y2, block=_BLOCK)
+        del Y1, Y2
+        S1, SQ1 = _fence(_project_fn(p, kk)(S, Q1))
+        S2, _ = _fence(_project_fn(p, p - kk)(S, Q2))
+        off_rel = float(_fence(_offdiag_fn(p, kk)(Q2, SQ1))) / max(froS, 1e-30)
+        del SQ1
+        if verbose:
+            print(f"[sdc] split p={p} depth={_depth} k={kk} (dk={dk}) "
+                  f"off_rel={off_rel:.2e}", flush=True)
+        if best is None or off_rel < best[0]:
+            best = (off_rel, kk, Q1, Q2, S1, S2)
+        if off_rel <= tol_rel:
+            break
+        stats["split_retries"] = stats.get("split_retries", 0) + 1
+    off_rel, k, Q1, Q2, S1, S2 = best
+    if off_rel > 30 * tol_rel:
+        raise RuntimeError(
+            f"sdc_eigh: no acceptable split at block p={p} (best relative "
+            f"off-diagonal {off_rel:.3e}); the spectrum near sigma={sigma:.6g} "
+            f"may be pathologically clustered"
+        )
     del U
-    Q1 = cholqr2(Y1, block=_BLOCK)
-    Q2 = cholqr2(Y2, block=_BLOCK)
-    del Y1, Y2
-    S1, SQ1 = _project_fn(p, k)(S, Q1)
-    S2, _ = _project_fn(p, p - k)(S, Q2)
     stats["splits"] += 1
-    stats["max_off"] = max(stats["max_off"], float(_offdiag_fn(p, k)(Q2, SQ1)))
-    del S, SQ1  # free the parent block before recursing (HBM headroom)
+    stats["max_off"] = max(stats["max_off"], off_rel)
+    del S  # free the parent block before recursing (HBM headroom)
     lam1, W1 = sdc_eigh(
         S1, base_size=base_size, seed=seed, min_frac=min_frac,
         max_bisect=max_bisect, _depth=_depth + 1, _stats=stats,
@@ -306,8 +383,8 @@ def sdc_eigh(
         max_bisect=max_bisect, _depth=_depth + 1, _stats=stats,
     )
     del S2
-    V = _combine_fn(p, k)(Q1, Q2, W1, W2)
-    lam = _concat_fn(k, p - k)(lam1, lam2)  # below-sigma block first: ascending
+    V = _fence(_combine_fn(p, k)(Q1, Q2, W1, W2))
+    lam = _fence(_concat_fn(k, p - k)(lam1, lam2))  # below-sigma block first: ascending
     return lam, V
 
 
@@ -345,9 +422,9 @@ def pencil_eig_sdc(
     del Md
     X = tri_solve_lower(L, Kd, block=_BLOCK)  # L^{-1} K
     del Kd
-    S = _sym_fn(n)(_tr_fn(n)(tri_solve_lower(L, _tr_fn(n)(X), block=_BLOCK)))
+    S = _fence(_sym_fn(n)(_tr_fn(n)(tri_solve_lower(L, _tr_fn(n)(X), block=_BLOCK))))
     del X
     lam, Q = sdc_eigh(S, base_size=base_size, seed=seed)
     del S
-    V = tri_solve_lower(L, Q, block=_BLOCK, transpose=True)
+    V = _fence(tri_solve_lower(L, Q, block=_BLOCK, transpose=True))
     return np.asarray(lam, np.float64), V
