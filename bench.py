@@ -396,6 +396,7 @@ def stage_heat():
     variants = {}
     for name, builder in (
         ("jnp", lambda: prob.build_woodbury_solver(refine=1)),
+        ("mxu", lambda: prob.build_woodbury_solver(refine=1, time_transform="mxu")),
         ("pallas", lambda: __import__(
             "optimal_control_paradiag_tpu.paradiag.pallas_heat", fromlist=["b"]
         ).build_pallas_heat_solver(prob, refine=1, interpret=jax.default_backend() == "cpu")),
@@ -571,6 +572,10 @@ def stage_breakdown(prob):
     p4 = FourStepPlan(N_t, space.dtype)
     rtrip4 = lambda x: time_irfft_conj_mm4(time_rfft_conj_mm4(x, p4), p4)
     t_mxu2 = _chain_time(rtrip4, b, chain=CHAIN, reps=REPS)
+    from optimal_control_paradiag_tpu.ops.transforms import DstFourStepPlan, dst1_mm4
+
+    pd4 = DstFourStepPlan(prob.config.N_x, space.dtype)
+    t_dst4 = _chain_time(lambda x: dst1_mm4(x, pd4), b, chain=CHAIN, reps=REPS)
     t_idst = _chain_time(lambda x: space.idst(x), b, chain=CHAIN, reps=REPS)
     full0 = jax.jit(build_woodbury_solver(prob.operator, refine=0))
     t_full0 = _chain_time(full0, b, chain=CHAIN, reps=REPS)
@@ -578,6 +583,7 @@ def stage_breakdown(prob):
     peaks = _chip_peaks()
     out = {
         "dst_fwd_ms": round(t_dst * 1e3, 3),
+        "dst_fourstep_ms": round(t_dst4 * 1e3, 3),
         "rfft_irfft_roundtrip_ms": round(t_fft2 * 1e3, 3),
         "mxu_fourstep_roundtrip_ms": round(t_mxu2 * 1e3, 3),
         "idst_ms": round(t_idst * 1e3, 3),
@@ -928,6 +934,11 @@ def main():
     # runs in the budget-gated tier below, so slow-relay runs still land
     # the headline quickly.
     prob = make_problem(N_x=N_X, N_t=N_T)
+    # full-mxu candidate: four-step DST over space (dst_method='mxu4') AND
+    # four-step rfft/irfft over time -- every transform off the dense-matmul
+    # / jnp.fft paths the r4 breakdown identified as the bound.
+    prob4 = make_problem(N_x=N_X, N_t=N_T, dst_method="mxu4")
+    r_mxu4 = guard("woodbury_mxu4", stage_woodbury, prob4, "mxu")
     r_mxu = guard("woodbury_mxu", stage_woodbury, prob, "mxu")
     r_pl = guard("woodbury_pallas", stage_woodbury_pallas, prob)
     r_fft = guard("woodbury_fft", stage_woodbury, prob, "fft")
@@ -936,6 +947,7 @@ def main():
     for name, r, fused in (
         ("fft", r_fft, False),
         ("mxu", r_mxu, False),
+        ("mxu4", r_mxu4, False),
         ("pallas", r_pl, True),
     ):
         if "ms_per_solve" in r and r.get("rel_f64", 1.0) <= MAX_REL_RESIDUAL:
@@ -943,7 +955,7 @@ def main():
     if not cands:
         write_suite()
         best = min(
-            (r for r in (r_fft, r_pl, r_mxu) if "rel_f64" in r),
+            (r for r in (r_fft, r_pl, r_mxu, r_mxu4) if "rel_f64" in r),
             key=lambda r: r["rel_f64"],
             default=None,
         )

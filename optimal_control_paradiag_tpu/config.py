@@ -56,6 +56,11 @@ class ProblemConfig:
     mass: str = "consistent"
     dtype: Any = jnp.float64
     dst_precision: str = "highest"
+    # Sine-transform algorithm (fem/space.py): 'auto' (dense MXU matmul up
+    # to the 64 MB matrix budget, then fft), 'matmul', 'fft', or 'mxu4'
+    # (r5: the odd-extension four-step MXU factorization -- O(N_x^1.5)
+    # flops per row, exact to f32 rounding; the headline fast path).
+    dst_method: str = "auto"
 
     def __post_init__(self):
         if self.dim not in (1, 2):
@@ -66,6 +71,10 @@ class ProblemConfig:
             raise ValueError("need N_x >= 2 and N_t >= 3")
         if self.dst_precision not in ("highest", "high"):
             raise ValueError(f"dst_precision must be 'highest' or 'high', got {self.dst_precision}")
+        if self.dst_method not in ("auto", "matmul", "fft", "mxu4"):
+            raise ValueError(
+                f"dst_method must be auto/matmul/fft/mxu4, got {self.dst_method}"
+            )
 
     @property
     def dt(self) -> float:

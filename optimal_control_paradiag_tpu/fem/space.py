@@ -264,6 +264,21 @@ class P1Space:
         F = jnp.fft.fft(ext, axis=-1)
         return 0.5j * F[..., 1 : self.n1d + 1]
 
+    @functools.cached_property
+    def _dst4_plan(self):
+        from optimal_control_paradiag_tpu.ops.transforms import DstFourStepPlan
+
+        return DstFourStepPlan(self.N_x, self.dtype)
+
+    def _dst_mm4_lastaxis(self, x: jnp.ndarray) -> jnp.ndarray:
+        from optimal_control_paradiag_tpu.ops.transforms import dst1_mm4
+
+        if jnp.iscomplexobj(x):
+            return jax.lax.complex(
+                dst1_mm4(x.real, self._dst4_plan), dst1_mm4(x.imag, self._dst4_plan)
+            )
+        return dst1_mm4(x, self._dst4_plan)
+
     def dst(self, x: jnp.ndarray) -> jnp.ndarray:
         """Forward sine transform over the (flat) space axis.
 
@@ -271,7 +286,18 @@ class P1Space:
         matmuls do not lower on the TPU backend) at HIGHEST precision -- the
         MXU's default bf16 passes destroy the preconditioner's accuracy (and
         with it the outer iteration count). 'fft': O(n log n) odd-extension
-        identity, the large-n fast path."""
+        identity via jnp.fft (slow on TPU -- ~60 GB/s effective; kept for
+        CPU and very large n). 'mxu4' (r5): the SAME odd-extension identity
+        with the length-2N_x FFT factored into two radix-~sqrt(2 N_x) real
+        MXU matmul stages (ops.transforms.dst1_mm4) -- O(N_x^1.5) flops per
+        row instead of the dense matmul's O(N_x^2), exact to f32 rounding."""
+        if self.dst_method == "mxu4":
+            if self.dim == 1:
+                return self._dst_mm4_lastaxis(x)
+            g = x.reshape(x.shape[:-1] + self.grid_shape)
+            g = self._dst_mm4_lastaxis(g)
+            g = self._dst_mm4_lastaxis(jnp.swapaxes(g, -1, -2))
+            return jnp.swapaxes(g, -1, -2).reshape(x.shape)
         if self._use_fft_dst:
             if self.dim == 1:
                 return self._dst_fft_lastaxis(x)

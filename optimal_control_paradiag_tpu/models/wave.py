@@ -61,6 +61,7 @@ class WaveControlProblem:
             mass=config.mass,
             dtype=config.dtype,
             dst_precision=config.dst_precision,
+            dst_method=config.dst_method,
         )
         self.operator = build_operator(
             self.space, config.N_t, config.dt, config.gamma, scaled=config.scaled

@@ -178,16 +178,30 @@ def _small_tri(p: int, m: int, transpose: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _gram_fn(p: int, k: int):
+def _gram_fn(p: int, k: int, shifted: bool):
     @jax.jit
     def f(Y):
         G = jnp.matmul(Y.T, Y, precision=_HI)
         G = 0.5 * (G + G.T)
-        # Tiny relative ridge: keeps the f32 Cholesky of a
-        # near-rank-deficient Gram finite (CholQR's orthogonality defect
-        # from the ridge is second-order and the second CholQR pass removes
-        # it entirely).
-        ridge = 8.0 * jnp.finfo(G.dtype).eps * jnp.max(jnp.diagonal(G))
+        if shifted:
+            # Shifted first pass (the CholeskyQR3 stabilization, public
+            # algorithm -- Fukaya et al., SIAM J. Sci. Comput. 2020): a
+            # shift ~ eps * ||Y||_F^2 makes the Cholesky unconditionally
+            # finite for kappa(Y) up to ~1/eps. The shift perturbs pass-1
+            # orthogonality only (kappa of the result drops to
+            # ~sqrt(1 + s/sigma_min^2)); range(Y R^{-1}) = range(Y) exactly,
+            # and the two plain passes after it restore orthonormality to
+            # working precision. Needed on TPU: the randomized range
+            # finder's square-Gaussian restriction has kappa ~ 3k, which at
+            # k ~ 1.5e3 sits exactly on plain CholQR2's f32 breakdown
+            # boundary (kappa <= u^{-1/2} ~ 2.9e3) -- the r5 wall run's
+            # deep splits produced 0.5-relative off-diagonals from exactly
+            # this, with every sign-function diagnostic green.
+            ridge = 100.0 * jnp.finfo(G.dtype).eps * jnp.trace(G)
+        else:
+            # Tiny relative ridge: keeps the f32 Cholesky of a
+            # near-rank-deficient Gram finite.
+            ridge = 8.0 * jnp.finfo(G.dtype).eps * jnp.max(jnp.diagonal(G))
         return G + ridge * jnp.eye(G.shape[0], dtype=G.dtype)
 
     return f
@@ -202,18 +216,21 @@ def _tr_fn(p: int, k: int):
     return f
 
 
-def cholqr(Y, *, block: int = 1024):
+def cholqr(Y, *, block: int = 1024, shifted: bool = False):
     """One CholeskyQR pass: ``Q = Y chol(Y^T Y)^{-T}`` (columns
-    orthonormalized; error ~ eps * cond(Y)^2)."""
+    orthonormalized; error ~ eps * cond(Y)^2). ``shifted``: the
+    CholeskyQR3-style stabilizing shift on the Gram (see _gram_fn)."""
     p, k = int(Y.shape[0]), int(Y.shape[1])
-    G = _fence(_gram_fn(p, k)(Y))
+    G = _fence(_gram_fn(p, k, shifted)(Y))
     L = blocked_cholesky(G, block=block)
     Xt = tri_solve_lower(L, _tr_fn(p, k)(Y), block=block)  # L^{-1} Y^T
     return _fence(_tr_fn(k, p)(Xt))
 
 
 def cholqr2(Y, *, block: int = 1024):
-    """CholeskyQR2 (two passes): float32-stable orthonormalization of a tall
-    full-rank block -- the large-triangle-safe replacement for
-    ``jnp.linalg.qr`` (module docstring)."""
-    return cholqr(cholqr(Y, block=block), block=block)
+    """Shifted CholeskyQR3: one shifted pass (unconditionally finite, drops
+    kappa to ~sqrt(s)/sigma_min) + two plain passes (restore orthonormality
+    to working precision) -- float32-stable to kappa(Y) ~ 1/eps, the
+    large-triangle-safe replacement for ``jnp.linalg.qr`` (module
+    docstring; name kept from the plain-CholQR2 it supersedes)."""
+    return cholqr(cholqr(cholqr(Y, block=block, shifted=True), block=block), block=block)

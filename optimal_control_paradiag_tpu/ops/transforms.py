@@ -192,3 +192,62 @@ def time_irfft_conj_mm4(xi: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
         "TK,ctKn->cTtn", p.Sb1, bim, precision=_HI
     )
     return out.reshape(c, N, n)
+
+
+# ---------------------------------------------------------------------------
+# Four-step DST-I over the LAST axis (the spatial sine transform)
+# ---------------------------------------------------------------------------
+#
+# The r4 breakdown put the dense matmul-DST at 1.08 ms per direction at the
+# headline size (0.48 of the 6-pass-f32 MXU peak) -- the single largest
+# cost in the solve. DST-I(x)_k = -0.5 Im fft([0, x, 0, -flip(x)])_{k+1}
+# (the odd-extension identity, length N = 2 N_x), and that FFT factorizes
+# into two radix-~sqrt(N) real matmul stages exactly like the time
+# transform above -- O(N_x^1.5) MXU flops per row instead of O(N_x^2), and
+# only the IMAGINARY part of the final stage is computed (2 matmuls).
+# Conventions match fem/space.P1Space.dst (V[i,j] = sin((i+1)(j+1)pi/N_x)).
+
+
+class DstFourStepPlan:
+    """Host-constant matrices of the four-step DST-I for one (N_x, dtype)."""
+
+    def __init__(self, N_x: int, rdtype):
+        N = 2 * N_x
+        a, b = factor_pair(N)
+        if a < 2:
+            raise ValueError(f"2*N_x={N} has no nontrivial factorization")
+        self.N_x, self.N, self.a, self.b = N_x, N, a, b
+        tb = np.arange(b)
+        ta = np.arange(a)
+        ang_b = 2.0 * np.pi * np.outer(tb, tb) / b
+        self.Cb = host_const(np.cos(ang_b), rdtype)
+        self.Sb = host_const(np.sin(ang_b), rdtype)
+        ang_w = 2.0 * np.pi * np.outer(tb, ta) / N  # W[k2, t1]
+        self.Wre = host_const(np.cos(ang_w), rdtype)
+        self.Wim = host_const(np.sin(ang_w), rdtype)
+        ang_a = 2.0 * np.pi * np.outer(ta, ta) / a
+        self.Ca = host_const(np.cos(ang_a), rdtype)
+        self.Sa = host_const(np.sin(ang_a), rdtype)
+
+
+def dst1_mm4(x: jnp.ndarray, p: DstFourStepPlan) -> jnp.ndarray:
+    """DST-I of a REAL array over its last axis (length N_x - 1) via the
+    odd-extension four-step factorization; equals
+    ``x @ sin((i+1)(j+1)pi/N_x)`` to f32 rounding."""
+    n = p.N_x - 1
+    z = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    ext = jnp.concatenate([z, x, z, -jnp.flip(x, axis=-1)], axis=-1)
+    e4 = ext.reshape(x.shape[:-1] + (p.b, p.a))  # [t2, t1]
+    # stage 1: radix-b DFT over t2, sign - (numpy fft): (Cb - i Sb) e
+    yre = jnp.einsum("KT,...Ta->...Ka", p.Cb, e4, precision=_HI)
+    yim = -jnp.einsum("KT,...Ta->...Ka", p.Sb, e4, precision=_HI)
+    # twiddle e^{-2 pi i k2 t1 / N} = Wre - i Wim
+    zre = yre * p.Wre + yim * p.Wim
+    zim = yim * p.Wre - yre * p.Wim
+    # stage 2: radix-a DFT over t1, imaginary part only:
+    # Im((Ca - i Sa)(zre + i zim)) = Ca zim - Sa zre
+    Xim = jnp.einsum("AT,...KT->...AK", p.Ca, zim, precision=_HI) - jnp.einsum(
+        "AT,...KT->...AK", p.Sa, zre, precision=_HI
+    )
+    X = Xim.reshape(x.shape[:-1] + (p.N,))
+    return -0.5 * X[..., 1 : n + 1]

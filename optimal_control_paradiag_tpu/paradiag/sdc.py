@@ -112,24 +112,20 @@ def _sign_ns_fn(p: int, maxiter: int = 110, polish: int = 3):
     @jax.jit
     def f(S, sigma):
         A = S - sigma * jnp.eye(p, dtype=S.dtype)
-        # alpha ~ ||A||_2 by power iteration (x1.25 safety: NS diverges past
-        # sqrt(3), and an UNDERestimate is fatal while an overestimate only
-        # costs ~log1.5 of the slack in iterations). The max-row-sum bound
-        # used before overestimates ||A||_2 of the dense rotated blocks
-        # (Q^T S Q is Gaussian-like) by ~sqrt(2p/pi) -- at p ~ 1e4 that is
-        # ~80x, which burned the whole iteration budget just recovering the
-        # scale and sent NaNs downstream (r5 wall run, p=5216 block).
-        v0 = jnp.sum(jnp.abs(A), axis=1)
-        v0 = v0 / jnp.linalg.norm(v0)
-
-        def pow_body(_, vn):
-            v, _ = vn
-            w = jnp.matmul(A, v, precision=_HI)
-            nw = jnp.linalg.norm(w)
-            return w / jnp.maximum(nw, 1e-30), nw
-
-        _, a2 = jax.lax.fori_loop(0, 16, pow_body, (v0, jnp.asarray(1.0, S.dtype)))
-        alpha = jnp.maximum(1.25 * a2, 1e-30)
+        # alpha: a PROVABLE upper bound on ||A||_2 -- min(max row sum,
+        # Frobenius). NS diverges past sqrt(3), so an underestimate is
+        # fatal (a power-iteration estimate can undershoot on dense spectra
+        # with no top gap), while an overestimate only costs log1.5(slack)
+        # extra iterations. The row-sum bound alone overestimates the dense
+        # rotated blocks (Q^T S Q is Gaussian-like) by ~sqrt(2p/pi) -- at
+        # p ~ 1e4 that is ~80x, which burned the old 60-iteration budget
+        # and sent NaNs downstream (r5 wall run, p=5216 block); the
+        # Frobenius bound caps the overshoot at ~sqrt(p_eff) of the
+        # spectral spread, and maxiter=110 covers both with room.
+        alpha = jnp.maximum(
+            jnp.minimum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), jnp.linalg.norm(A)),
+            1e-30,
+        )
         X0 = A / alpha
         eye = jnp.eye(p, dtype=S.dtype)
         tol = 10.0 * jnp.finfo(S.dtype).eps * p**0.5
@@ -164,7 +160,17 @@ def _range_fn(p: int, k: int, lo: bool):
     @jax.jit
     def f(S_unused, U, seed):
         key = jax.random.PRNGKey(seed)
-        G = jax.random.normal(key, (p, k), dtype=U.dtype)
+        # The barrier is LOAD-BEARING: without it XLA fuses the threefry
+        # generation into the HIGHEST-precision matmul's operand, and on
+        # the axon TPU backend that fused form MISCOMPUTES -- measured on
+        # the r5 wall run's p=3011 block: Y was 0.57-relative outside the
+        # sign's invariant subspace with a certified-perfect U and healthy
+        # standalone G, reproducible per shape and seed-independent;
+        # materializing G first gives 2.5e-7. (Returning G from the jit
+        # also fixes it -- same mechanism.)
+        G = jax.lax.optimization_barrier(
+            jax.random.normal(key, (p, k), dtype=U.dtype)
+        )
         UG = jnp.matmul(U, G, precision=_HI)
         return G - UG if lo else G + UG
 
@@ -286,90 +292,119 @@ def sdc_eigh(
         return _eigh_base(S, p, base_size)
 
     med, rbound, froS = (float(x) for x in _fence(_diag_stats_fn(p)(S)))
-    # Gershgorin-style interval containing the spectrum, for bisection.
-    blo, bhi = med - rbound, med + rbound
-    sigma = med
     sign = _sign_ns_fn(p)
-    U = k = None
-    for probe in range(max_bisect + 1):
-        if verbose:
-            print(f"[sdc] sign p={p} depth={_depth} probe={probe} sigma={sigma:.4g}", flush=True)
-        U_c, trU, defect, ns_it = _fence(sign(S, sigma))
-        if not np.isfinite(float(trU)) or not float(defect) < 1e-2:
+
+    def _find_sign(sigma0):
+        """(U, k, sigma) at a balance-acceptable shift, by inertia-count
+        bisection from ``sigma0``."""
+        blo, bhi = med - rbound, med + rbound
+        sigma = sigma0
+        U = k = None
+        for probe in range(max_bisect + 1):
+            if verbose:
+                print(f"[sdc] sign p={p} depth={_depth} probe={probe} "
+                      f"sigma={sigma:.4g}", flush=True)
+            U_c, trU, defect, ns_it = _fence(sign(S, sigma))
+            if verbose:
+                print(f"[sdc]   -> defect={float(defect):.2e} "
+                      f"ns_iters={int(ns_it)} trU={float(trU):.2f}", flush=True)
+            if not np.isfinite(float(trU)) or not float(defect) < 1e-2:
+                raise RuntimeError(
+                    f"sdc_eigh: sign iteration failed at block p={p} "
+                    f"(sigma={sigma:.6g}, defect={float(defect):.3e}, "
+                    f"iters={int(ns_it)}) -- an eigenvalue may sit at machine "
+                    f"distance from sigma; this guard stops NaNs propagating "
+                    f"silently into the basis"
+                )
+            # Parity-corrected count: tr U = (#above - #below) has the
+            # parity of p exactly; rounding the f32 trace to the nearest
+            # correct-parity integer removes the +-0.5 ambiguity of
+            # half-converged near-sigma eigenvalues.
+            t_int = int(round(float(trU)))
+            if (p - t_int) % 2:
+                t_int += 1 if float(trU) > t_int else -1
+            kk = max(0, min(p, (p - t_int) // 2))
+            stats["bisect_probes"] += 1 if probe else 0
+            stats["max_defect"] = max(stats["max_defect"], float(defect))
+            stats["ns_iters"].append(int(ns_it))
+            if kk < p * min_frac:  # almost everything above sigma: raise it
+                if 0 < kk < p:
+                    U, k, sig = U_c, kk, sigma  # best non-trivial so far
+                blo = sigma
+                sigma = 0.5 * (sigma + bhi)
+            elif kk > p * (1 - min_frac):
+                if 0 < kk < p:
+                    U, k, sig = U_c, kk, sigma
+                bhi = sigma
+                sigma = 0.5 * (blo + sigma)
+            else:
+                return U_c, kk, sigma
+        if U is None:
             raise RuntimeError(
-                f"sdc_eigh: sign iteration failed at block p={p} "
-                f"(sigma={sigma:.6g}, defect={float(defect):.3e}, "
-                f"iters={int(ns_it)}) -- an eigenvalue may sit at machine "
-                f"distance from sigma; this guard stops NaNs propagating "
-                f"silently into the basis"
+                f"sdc_eigh: could not find a splitting shift for block of "
+                f"size {p} (spectrum may be a single numerical cluster); "
+                f"lower base_size or use a direct eigh"
             )
-        # Parity-corrected count: tr U = (#above - #below) has the parity
-        # of p exactly; rounding the f32 trace to the nearest
-        # correct-parity integer removes the +-0.5 ambiguity of
-        # half-converged near-sigma eigenvalues.
-        t_int = int(round(float(trU)))
-        if (p - t_int) % 2:
-            t_int += 1 if float(trU) > t_int else -1
-        kk = (p - t_int) // 2
-        kk = max(0, min(p, kk))
-        stats["bisect_probes"] += 1 if probe else 0
-        stats["max_defect"] = max(stats["max_defect"], float(defect))
-        stats["ns_iters"].append(int(ns_it))
-        if kk < p * min_frac:  # almost everything above sigma -> raise it
-            if 0 < kk < p:
-                U, k = U_c, kk  # keep the best non-trivial split so far
-            blo = sigma
-            sigma = 0.5 * (sigma + bhi)
-        elif kk > p * (1 - min_frac):
-            if 0 < kk < p:
-                U, k = U_c, kk
-            bhi = sigma
-            sigma = 0.5 * (blo + sigma)
-        else:
-            U, k = U_c, kk
-            break
-    if U is None:
-        raise RuntimeError(
-            f"sdc_eigh: could not find a splitting shift for block of size {p} "
-            f"(spectrum may be a single numerical cluster); lower base_size or "
-            f"use a direct eigh"
-        )
-    # ---- verified split: the f32 trace can still miscount k by one, and a
-    # rank-mismatched range finder injects a junk direction whose coupling
-    # to the complement is O(lambda_max) -- caught here by the off-diagonal
-    # norm of the decoupled congruence and retried with k +- 1 (the r5 wall
-    # run's 4.2e6 off-diagonal was exactly this failure, silent before).
+        return U, k, sig
+
+    # ---- verified split. Two observed float32 failure modes, both caught
+    # by the off-diagonal norm of the decoupled congruence (they were
+    # SILENT in the first wall run -- a 0.62-relative off-diagonal produced
+    # a garbage basis with every per-stage diagnostic green):
+    #  (a) the f32 trace miscounts k by one: the rank-mismatched range
+    #      finder injects a junk direction with O(lambda_max) coupling
+    #      -- retried with k +- 1;
+    #  (b) an eigenvalue sits close enough to sigma that the sign iteration
+    #      leaves it at an intermediate value: its eigenvector lands in
+    #      BOTH subspaces (seed- and k-independent!) -- retried by
+    #      JITTERING sigma (spectral-scale nudge) and redoing the sign.
     sd = int(seed + 7919 * _depth + p)
     tol_rel, best = 3e-3, None
-    for attempt, dk in enumerate((0, 1, -1, 2, -2)):
-        kk = k + dk
-        if not 0 < kk < p:
-            continue
-        Y1 = _fence(_range_fn(p, kk, True)(S, U, np.int32(sd + 2 * attempt)))
-        Y2 = _fence(_range_fn(p, p - kk, False)(S, U, np.int32(sd + 2 * attempt + 1)))
-        Q1 = cholqr2(Y1, block=_BLOCK)
-        Q2 = cholqr2(Y2, block=_BLOCK)
-        del Y1, Y2
-        S1, SQ1 = _fence(_project_fn(p, kk)(S, Q1))
-        S2, _ = _fence(_project_fn(p, p - kk)(S, Q2))
-        off_rel = float(_fence(_offdiag_fn(p, kk)(Q2, SQ1))) / max(froS, 1e-30)
-        del SQ1
-        if verbose:
-            print(f"[sdc] split p={p} depth={_depth} k={kk} (dk={dk}) "
-                  f"off_rel={off_rel:.2e}", flush=True)
-        if best is None or off_rel < best[0]:
-            best = (off_rel, kk, Q1, Q2, S1, S2)
-        if off_rel <= tol_rel:
+    sigma_sel = None
+    for jitter in range(4):
+        U, k, sigma_sel = _find_sign(med + jitter * 0.0037 * rbound)
+        for attempt, dk in enumerate((0, 1, -1)):
+            kk = k + dk
+            if not 0 < kk < p:
+                continue
+            Y1 = _fence(_range_fn(p, kk, True)(S, U, np.int32(sd + 2 * attempt)))
+            Y2 = _fence(_range_fn(p, p - kk, False)(S, U, np.int32(sd + 2 * attempt + 1)))
+            Q1 = cholqr2(Y1, block=_BLOCK)
+            Q2 = cholqr2(Y2, block=_BLOCK)
+            del Y1, Y2
+            S1, SQ1 = _fence(_project_fn(p, kk)(S, Q1))
+            S2, _ = _fence(_project_fn(p, p - kk)(S, Q2))
+            off_rel = float(_fence(_offdiag_fn(p, kk)(Q2, SQ1))) / max(froS, 1e-30)
+            del SQ1
+            if verbose:
+                print(f"[sdc] split p={p} depth={_depth} k={kk} (dk={dk}, "
+                      f"jitter={jitter}) off_rel={off_rel:.2e}", flush=True)
+            dump = __import__("os").environ.get("SDC_DUMP_BAD", "")
+            if dump and off_rel > 0.1:
+                path = f"{dump}/sdc_bad_block_p{p}_d{_depth}.npy"
+                if not __import__("os").path.exists(path):
+                    np.save(path, np.asarray(S, np.float32))
+                    print(f"[sdc] dumped failing block to {path}", flush=True)
+            if best is None or off_rel < best[0]:
+                best = (off_rel, kk, Q1, Q2, S1, S2)
+            if off_rel <= tol_rel:
+                break
+            stats["split_retries"] = stats.get("split_retries", 0) + 1
+            if attempt == 0 and dk == 0 and off_rel > 30 * tol_rel:
+                # k-independent failure signature (mode b): skip the dk
+                # attempts, go straight to the sigma jitter.
+                break
+        del U
+        if best[0] <= tol_rel:
             break
-        stats["split_retries"] = stats.get("split_retries", 0) + 1
     off_rel, k, Q1, Q2, S1, S2 = best
     if off_rel > 30 * tol_rel:
         raise RuntimeError(
             f"sdc_eigh: no acceptable split at block p={p} (best relative "
-            f"off-diagonal {off_rel:.3e}); the spectrum near sigma={sigma:.6g} "
-            f"may be pathologically clustered"
+            f"off-diagonal {off_rel:.3e} over {jitter + 1} shifts around "
+            f"sigma={sigma_sel:.6g}); the spectrum may be pathologically "
+            f"clustered"
         )
-    del U
     stats["splits"] += 1
     stats["max_off"] = max(stats["max_off"], off_rel)
     del S  # free the parent block before recursing (HBM headroom)
