@@ -175,7 +175,13 @@ class WaveControlProblem:
                                 self._eig_basis = basis
                             # polish folds into extra Richardson steps here
                             # (the two-float ladder would re-embed V).
-                            steps = (0 if f64 else 2) + solver.polish
+                            # 8 f32 steps: enough to floor even an SDC
+                            # device basis (contraction ~0.18/step;
+                            # measured ladder 2.6e-2 -> 6.6e-5 at the
+                            # n=20449 wall); host-LAPACK bases floor in 2
+                            # and the extra corrections are ~free vs the
+                            # V matmuls.
+                            steps = (0 if f64 else 8) + solver.polish
                             fnV = jax.jit(
                                 build_eig_direct_fn(
                                     op, basis, steps=steps, with_residual=True

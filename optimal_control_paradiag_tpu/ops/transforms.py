@@ -116,9 +116,16 @@ def factor_pair(N: int) -> Tuple[int, int]:
 
 class FourStepPlan:
     """Host-constant matrices of the four-step time transforms for one
-    (N, dtype). Build once at setup; all fields are numpy (jit-embeddable)."""
+    (N, dtype). Build once at setup; all fields are numpy (jit-embeddable).
 
-    def __init__(self, N: int, rdtype):
+    ``precision``: MXU precision of the radix matmuls. HIGHEST (6-pass
+    bf16) re-reads the state per pass, making the small-radix stages
+    bandwidth-bound at ~6x the algorithmic traffic (measured r5: the
+    four-step roundtrip matched jnp.fft instead of beating it); HIGH
+    (3-pass) halves that for ~1e-6-relative transform error."""
+
+    def __init__(self, N: int, rdtype, precision=None):
+        self.prec = precision if precision is not None else jax.lax.Precision.HIGHEST
         a, b = factor_pair(N)
         if a < 2:
             raise ValueError(f"N={N} has no nontrivial factorization; use the fft path")
@@ -147,6 +154,7 @@ class FourStepPlan:
 def time_rfft_conj_mm4(x: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
     """``conj(rfft(x, axis=1)) / N`` of a real ``(c, N, n)`` state via the
     four-step factorization (module note). Returns ``(c, K, n)`` complex."""
+    _HI = p.prec
     c, N, n = x.shape
     x4 = x.reshape(c, p.b, p.a, n)  # [t2, t1]
     yre = jnp.einsum("KT,cTan->cKan", p.Cb, x4, precision=_HI)
@@ -166,6 +174,7 @@ def time_rfft_conj_mm4(x: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
 def time_irfft_conj_mm4(xi: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
     """``irfft(conj(xi), n=N, axis=1) * N`` of a ``(c, K, n)`` half spectrum
     via the four-step factorization; returns the real ``(c, N, n)`` state."""
+    _HI = p.prec
     c, K, n = xi.shape
     N = p.N
     # Hermitian extension of conj(xi): Z[k] = conj(xi)[k] for k < K,
@@ -209,9 +218,11 @@ def time_irfft_conj_mm4(xi: jnp.ndarray, p: FourStepPlan) -> jnp.ndarray:
 
 
 class DstFourStepPlan:
-    """Host-constant matrices of the four-step DST-I for one (N_x, dtype)."""
+    """Host-constant matrices of the four-step DST-I for one (N_x, dtype).
+    ``precision``: see FourStepPlan."""
 
-    def __init__(self, N_x: int, rdtype):
+    def __init__(self, N_x: int, rdtype, precision=None):
+        self.prec = precision if precision is not None else jax.lax.Precision.HIGHEST
         N = 2 * N_x
         a, b = factor_pair(N)
         if a < 2:
@@ -234,6 +245,7 @@ def dst1_mm4(x: jnp.ndarray, p: DstFourStepPlan) -> jnp.ndarray:
     """DST-I of a REAL array over its last axis (length N_x - 1) via the
     odd-extension four-step factorization; equals
     ``x @ sin((i+1)(j+1)pi/N_x)`` to f32 rounding."""
+    _HI = p.prec
     n = p.N_x - 1
     z = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
     ext = jnp.concatenate([z, x, z, -jnp.flip(x, axis=-1)], axis=-1)
