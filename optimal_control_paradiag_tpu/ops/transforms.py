@@ -263,3 +263,42 @@ def dst1_mm4(x: jnp.ndarray, p: DstFourStepPlan) -> jnp.ndarray:
     )
     X = Xim.reshape(x.shape[:-1] + (p.N,))
     return -0.5 * X[..., 1 : n + 1]
+
+
+# ---------------------------------------------------------------------------
+# Two-for-one ("packed") half-spectrum time transforms
+# ---------------------------------------------------------------------------
+#
+# The half-spectrum pipeline transforms a REAL PAIR (u, p): packing
+# z = u + i p runs ONE complex FFT over the time axis instead of two real
+# rffts, and the two half-spectra split out by Hermitian symmetry --
+# exactly half the FFT work (the r4/r5 breakdowns put the rfft+irfft
+# roundtrip at 1.1 ms of the 2.4 ms headline). Conventions match
+# make_halfspectrum_transforms' fft path:
+#   forward:  xi_c = conj(rfft(s_c, axis=1)) / N     c in {u, p}
+#   inverse:  t_c  = irfft(conj(xi_c), n=N, axis=1) * N
+
+
+def time_rfft_conj_packed(s: jnp.ndarray, N: int) -> jnp.ndarray:
+    """``conj(rfft(s, axis=1))/N`` of a real ``(2, N, n)`` pair via one
+    packed complex FFT; returns ``(2, K, n)`` complex."""
+    K = N // 2 + 1
+    z = jax.lax.complex(s[0], s[1])
+    Z = jnp.fft.fft(z, axis=0)
+    # Zm[k] = conj(Z[(N - k) % N])
+    Zm = jnp.conj(jnp.roll(jnp.flip(Z, axis=0), 1, axis=0))
+    R0 = 0.5 * (Z + Zm)          # rfft(s0), all N bins (Hermitian)
+    R1 = -0.5j * (Z - Zm)        # rfft(s1)
+    return jnp.stack([jnp.conj(R0[:K]), jnp.conj(R1[:K])]) * (1.0 / N)
+
+
+def time_irfft_conj_packed(xi: jnp.ndarray, N: int) -> jnp.ndarray:
+    """``irfft(conj(xi_c), n=N, axis=1) * N`` for the ``(2, K, n)`` pair via
+    one packed complex inverse FFT; returns the real ``(2, N, n)`` pair."""
+    K = xi.shape[1]
+    W = (jnp.conj(xi[0]) + 1j * jnp.conj(xi[1])) * N    # R0 + i R1, bins < K
+    W2 = (jnp.conj(xi[0]) - 1j * jnp.conj(xi[1])) * N   # R0 - i R1
+    mirror = jnp.flip(jnp.conj(W2[1 : N - K + 1]), axis=0)  # bins K..N-1
+    Zfull = jnp.concatenate([W, mirror], axis=0)
+    z = jnp.fft.ifft(Zfull, axis=0)
+    return jnp.stack([z.real, z.imag])

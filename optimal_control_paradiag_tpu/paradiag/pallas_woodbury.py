@@ -143,11 +143,17 @@ def _make_kernel(refine: int):
 
 
 def build_pallas_woodbury_solver(
-    op: AllAtOnceOperator, refine: int = 1, interpret: bool = False
+    op: AllAtOnceOperator, refine: int = 1, interpret: bool = False,
+    pack_fft: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct solver ``b -> x``: jnp transforms (DST matmul + rfft -- already
     MXU/fft-optimal) around ONE fused Pallas kernel for the whole spectral-
-    domain Woodbury pipeline including ``refine`` defect-correction steps."""
+    domain Woodbury pipeline including ``refine`` defect-correction steps.
+
+    ``pack_fft`` (r5): run the time transforms as ONE packed complex FFT of
+    z = u + i p instead of two real rffts (half the FFT work -- the r4/r5
+    breakdowns put the rfft/irfft roundtrip at 1.1 ms of the 2.4 ms
+    headline; ops.transforms.time_rfft_conj_packed)."""
     sp = op.space
     plan = _spectral_plan(op)
     N_t, n = plan.N_t, plan.n
@@ -232,13 +238,27 @@ def build_pallas_woodbury_solver(
 
     pad_width = n_pad - n
 
-    def to_spectral(x):
-        s = sp.dst(x)
-        return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+    if pack_fft:
+        from optimal_control_paradiag_tpu.ops.transforms import (
+            time_irfft_conj_packed,
+            time_rfft_conj_packed,
+        )
 
-    def from_spectral(xi):
-        t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
-        return sp.idst(t).astype(rdtype)
+        def to_spectral(x):
+            return time_rfft_conj_packed(sp.dst(x), N_t)
+
+        def from_spectral(xi):
+            return sp.idst(time_irfft_conj_packed(xi, N_t)).astype(rdtype)
+
+    else:
+
+        def to_spectral(x):
+            s = sp.dst(x)
+            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+        def from_spectral(xi):
+            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+            return sp.idst(t).astype(rdtype)
 
     def solve(b: jnp.ndarray) -> jnp.ndarray:
         b_hat = to_spectral(b)

@@ -469,6 +469,20 @@ def make_halfspectrum_transforms(
         def from_spectral(xi):
             return sp.idst(time_irfft_conj_mm4(xi, plan4)).astype(rdtype)
 
+    elif time_transform == "fft2":
+        # packed two-for-one: one complex FFT of z = u + i p instead of two
+        # real rffts (ops.transforms.time_rfft_conj_packed)
+        from optimal_control_paradiag_tpu.ops.transforms import (
+            time_irfft_conj_packed,
+            time_rfft_conj_packed,
+        )
+
+        def to_spectral(x):
+            return time_rfft_conj_packed(sp.dst(x), N_t)
+
+        def from_spectral(xi):
+            return sp.idst(time_irfft_conj_packed(xi, N_t)).astype(rdtype)
+
     else:
 
         def to_spectral(x):
@@ -623,7 +637,7 @@ def build_woodbury_solver(
     transform there), so the multi-chip direct solve keeps the 2x saving."""
     if time_transform is None:
         time_transform = "dft" if layout is not None else "fft"
-    if time_transform not in ("fft", "dft", "mxu"):
+    if time_transform not in ("fft", "dft", "mxu", "fft2"):
         raise ValueError(f"unknown time_transform {time_transform!r}")
     if time_transform == "mxu" and layout is not None:
         raise ValueError("time_transform='mxu' is the single-device fast path; "

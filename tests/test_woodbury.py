@@ -42,6 +42,21 @@ def test_half_spectrum_dft_matches_fft(kw):
 
 
 @pytest.mark.parametrize("kw", CASES)
+def test_half_spectrum_packed_fft_matches_fft(kw):
+    """The two-for-one packed time FFT (z = u + i p through one complex
+    FFT; r5 headline winner inside the pallas solver) is equivalent to the
+    two-real-rfft form, odd and even N_t."""
+    import jax.numpy as jnp
+
+    prob = WaveControlProblem(ProblemConfig(**kw))
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(prob.operator.shape))
+    x_fft = build_woodbury_solver(prob.operator, refine=1, time_transform="fft")(b)
+    x_p = build_woodbury_solver(prob.operator, refine=1, time_transform="fft2")(b)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_fft), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("kw", CASES)
 def test_half_spectrum_mxu_matches_fft(kw):
     """The four-step MXU matmul time transform (r5 headline fast path;
     ops/transforms.py FourStepPlan) is equivalent to the rfft/irfft form,
