@@ -125,12 +125,6 @@ def main(argv=None):
             "problem sizes that would each need their own sharded program); "
             "run the sweep unsharded, or single sizes with --mesh"
         )
-    if args.mesh_file and args.mesh:
-        raise SystemExit(
-            "--mesh-file with --mesh is not supported yet: the sharded driver "
-            "dispatches on the structured spaces; run the mesh-file solve "
-            "unsharded (the user mesh would otherwise be silently dropped)"
-        )
     if args.mesh_file and args.model == "heat":
         raise SystemExit(
             "--mesh-file applies to the wave model only (the heat family "
@@ -182,7 +176,33 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     if args.mesh and not args.sweep:
-        return run_sharded(args, dtype, solver)
+        space = None
+        if args.mesh_file:
+            # Sharded solve on a USER mesh (r5): the pencil eigenbasis makes
+            # the general space diagonalizable, and the eigenbasis problem
+            # rides the standard sharded Woodbury stage layouts (V-matmuls
+            # partition; zero all-gathers -- tests/test_parallel.py).
+            if solver.method != "woodbury":
+                raise SystemExit(
+                    "--mesh-file with --mesh supports --method woodbury (the "
+                    "eigenbasis direct solve); other methods dispatch on "
+                    "structured spaces"
+                )
+            import numpy as np
+
+            from optimal_control_paradiag_tpu.fem.general import make_general_space
+            from optimal_control_paradiag_tpu.paradiag.eigbasis import build_eig_basis
+
+            z = np.load(args.mesh_file)
+            gsp = make_general_space(
+                z["points"],
+                z["triangles"],
+                dtype=dtype,
+                interior=z["interior"] if "interior" in z.files else None,
+            )
+            space = build_eig_basis(gsp, method=args.eig_method)
+            args.dim = 2
+        return run_sharded(args, dtype, solver, space=space)
     if args.model == "heat":
         return run_heat(args, dtype, solver)
     if args.sweep:
@@ -303,9 +323,11 @@ def rebuild_eig_cache(args):
     return rec
 
 
-def run_sharded(args, dtype, solver):
+def run_sharded(args, dtype, solver, space=None):
     """Sharded execution over a ('time','space') device mesh -- the CLI
-    surface of the parallel layer (parallel/solve.py). Both model families."""
+    surface of the parallel layer (parallel/solve.py). Both model families;
+    ``space`` (an EigBasisSpace) carries a user mesh through the eigenbasis
+    sharded path (--mesh-file with --mesh)."""
     import math
 
     import jax
@@ -332,7 +354,7 @@ def run_sharded(args, dtype, solver):
         prob = HeatControlProblem(cfg)
         run, sharding = make_sharded_heat_solver(prob, solver, layout)
     else:
-        prob = WaveControlProblem(cfg)
+        prob = WaveControlProblem(cfg, space=space)
         run, sharding = make_sharded_solver(prob, solver, layout)
     b = jax.device_put(prob.rhs, sharding) if sharding is not None else prob.rhs
 

@@ -389,3 +389,29 @@ def test_sharded_unstructured_eig_woodbury_matches_single_device():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=0, atol=1e-5)
     txt = run.lower(b).compile().as_text()
     assert txt.count("all-gather(") == 0
+
+
+def test_cli_mesh_file_sharded(tmp_path):
+    """--mesh-file with --mesh (r5): a user triangle mesh solved SHARDED
+    through the eigenbasis path, end-to-end via the CLI driver."""
+    _require_devices(8)
+    from optimal_control_paradiag_tpu import native
+    from optimal_control_paradiag_tpu.fem.general import boundary_nodes
+    from optimal_control_paradiag_tpu.run import main
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    N = 13  # n = 144: divisible by 2 and 4 (space axes used below)
+    pts, tris = native.unit_square_mesh(N, diagonal="left")
+    bnd = boundary_nodes(pts.shape[0], tris)
+    pts = pts.copy()
+    pts[~bnd] += rng.uniform(-0.18 / N, 0.18 / N, size=pts[~bnd].shape)
+    mesh_file = str(tmp_path / "mesh.npz")
+    np.savez(mesh_file, points=pts, triangles=tris)
+    rec = main([
+        "--mesh-file", mesh_file, "--mesh", "4,2", "--method", "woodbury",
+        "--nt", "16", "--nx", str(N), "--dtype", "float32",
+        "--platform", "cpu", "--out", str(tmp_path),
+    ])
+    assert rec["residual"] <= 1e-4
