@@ -175,13 +175,17 @@ class WaveControlProblem:
                                 self._eig_basis = basis
                             # polish folds into extra Richardson steps here
                             # (the two-float ladder would re-embed V).
-                            # 8 f32 steps: enough to floor even an SDC
-                            # device basis (contraction ~0.18/step;
-                            # measured ladder 2.6e-2 -> 6.6e-5 at the
-                            # n=20449 wall); host-LAPACK bases floor in 2
-                            # and the extra corrections are ~free vs the
-                            # V matmuls.
-                            steps = (0 if f64 else 8) + solver.polish
+                            # Step count follows the basis grade
+                            # (eigbasis.default_richardson_steps): f64
+                            # host bases are direct at 0, f32 LAPACK
+                            # floors in 2, SDC device bases contract
+                            # ~0.18/step and floor in 8 (measured ladder
+                            # 2.6e-2 -> 6.6e-5 at the n=20449 wall).
+                            from optimal_control_paradiag_tpu.paradiag.eigbasis import (
+                                default_richardson_steps,
+                            )
+
+                            steps = default_richardson_steps(basis) + solver.polish
                             fnV = jax.jit(
                                 build_eig_direct_fn(
                                     op, basis, steps=steps, with_residual=True

@@ -125,6 +125,11 @@ class EigBasisSpace:
     base: object  # GeneralP1Space (or any space with apply_mass/_stiffness)
     lam: np.ndarray  # (n,) float64 generalized eigenvalues
     V: jnp.ndarray  # (n, n) device array, columns M-orthonormal
+    # Basis provenance, for Richardson step auto-selection ('f64' host
+    # LAPACK: direct at 0 steps; 'f32' LAPACK-grade: floors in 2;
+    # 'f32_sdc' device divide-and-conquer: contracts ~0.18/step, floors
+    # in 8 -- measured ladder at n=20449, paradiag/sdc.py docstring).
+    quality: str = "f32"
 
     @property
     def dim(self) -> int:
@@ -226,18 +231,28 @@ def build_eig_basis(space, method: str = "auto") -> EigBasisSpace:
     if method == "host":
         lam, V = pencil_eig_host(M, K)
         Vd = to_device(V, space.dtype)
+        quality = "f64" if jnp.dtype(space.dtype).itemsize == 8 else "f32"
     elif method == "torch":
         lam, V = pencil_eig_torch(M, K, f32=jnp.dtype(space.dtype).itemsize == 4)
         Vd = to_device(V, space.dtype)
+        quality = "f32"
     elif method == "device":
         lam, Vd = pencil_eig_device(M, K, space.dtype)
+        quality = "f32"
     elif method == "sdc":
         from optimal_control_paradiag_tpu.paradiag.sdc import pencil_eig_sdc
 
         lam, Vd = pencil_eig_sdc(M, K, space.dtype)
+        quality = "f32_sdc"
     else:
         raise ValueError(f"unknown eig method {method!r}")
-    return EigBasisSpace(base=space, lam=lam, V=Vd)
+    return EigBasisSpace(base=space, lam=lam, V=Vd, quality=quality)
+
+
+def default_richardson_steps(basis: "EigBasisSpace") -> int:
+    """Step count that reaches each basis grade's accuracy floor (see
+    EigBasisSpace.quality)."""
+    return {"f64": 0, "f32": 2}.get(getattr(basis, "quality", "f32_sdc"), 8)
 
 
 def save_eig_basis(path: str, basis: EigBasisSpace) -> str:
