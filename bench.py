@@ -946,7 +946,7 @@ def main():
     r_pl2 = guard(
         "woodbury_pallas_packed", stage_woodbury_pallas, prob, pack_fft=True
     )
-    r_pl = guard("woodbury_pallas", stage_woodbury_pallas, prob)
+    r_pl = guard("woodbury_pallas", stage_woodbury_pallas, prob, pack_fft=False)
     r_fft = guard("woodbury_fft", stage_woodbury, prob, "fft")
     # recorded transform levers (they lose; kept as headline candidates so
     # regressions in the winner surface immediately): four-step MXU

@@ -278,7 +278,10 @@ class HeatControlProblem:
         tau = self.tau
         th = tau / math.sqrt(cfg.gamma)
         if time_transform is None:
-            time_transform = "dft" if layout is not None else "fft"
+            # packed-FFT default when unsharded (see
+            # paradiag.spectral.build_woodbury_solver; heat winner on v5e:
+            # 2.89 ms vs 3.11 pallas / 3.24 plain rfft)
+            time_transform = "dft" if layout is not None else "fft2"
         np_c = np.dtype(np.complex64) if jnp.dtype(rdtype).itemsize == 4 else np.dtype(np.complex128)
         L1, muM64, muK64, a11_h, tm_h, det_h = self._plan(mass_surrogate=mass_surrogate)
 
@@ -431,7 +434,10 @@ class HeatControlProblem:
         _, _, _, _, _, det_h = self._plan(mass_surrogate=not sp.diagonalizable)
         inv_sqrt_det = host_const(1.0 / np.sqrt(det_h[:K]), rdtype)
         if time_transform is None:
-            time_transform = "dft" if layout is not None else "fft"
+            # packed-FFT default when unsharded (see
+            # paradiag.spectral.build_woodbury_solver; heat winner on v5e:
+            # 2.89 ms vs 3.11 pallas / 3.24 plain rfft)
+            time_transform = "dft" if layout is not None else "fft2"
 
         from optimal_control_paradiag_tpu.paradiag.spectral import (
             make_halfspectrum_transforms,

@@ -144,7 +144,7 @@ def _make_kernel(refine: int):
 
 def build_pallas_woodbury_solver(
     op: AllAtOnceOperator, refine: int = 1, interpret: bool = False,
-    pack_fft: bool = False,
+    pack_fft: bool = True,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct solver ``b -> x``: jnp transforms (DST matmul + rfft -- already
     MXU/fft-optimal) around ONE fused Pallas kernel for the whole spectral-

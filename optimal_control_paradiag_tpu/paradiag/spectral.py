@@ -636,7 +636,11 @@ def build_woodbury_solver(
     Works sharded too (with ``layout``; requires the default DFT-matmul
     transform there), so the multi-chip direct solve keeps the 2x saving."""
     if time_transform is None:
-        time_transform = "dft" if layout is not None else "fft"
+        # unsharded default: the packed two-for-one FFT (exactly equivalent
+        # to the two-rfft form -- tests/test_woodbury.py -- and measured
+        # faster on v5e: 2.413 vs 2.670 ms jnp path, 2.16 vs 2.336 ms
+        # through the pallas kernel); sharded runs need the DFT matmuls.
+        time_transform = "dft" if layout is not None else "fft2"
     if time_transform not in ("fft", "dft", "mxu", "fft2"):
         raise ValueError(f"unknown time_transform {time_transform!r}")
     if time_transform == "mxu" and layout is not None:
