@@ -8,10 +8,12 @@ Headline: 1D wave control, N_x=2048, N_t=1024 (4.19M unknowns, float32) --
 a scaled-up version of the reference's default run
 (``Control_Wave_PC.py:335-339``) -- solved DIRECTLY by the rank-4 Woodbury
 identity in ParaDiag-diagonalized coordinates with one iterative-refinement
-step (paradiag/spectral.py). The solve is fully fused on device: jnp/MXU
-transforms around the single Pallas kernel of paradiag/pallas_woodbury.py
-when it wins, the jnp elementwise path otherwise (auto-picked each run,
-recorded in the suite file).
+step (paradiag/spectral.py). Five headline candidates run head-to-head and
+the fastest accuracy-gated one wins (recorded in the suite file): the
+fused Pallas elementwise kernel with the r5 packed two-for-one time FFT
+(the r5 winner, 2.16 ms), the same kernel with plain rffts (the r1-r4
+winner), and the jnp fft / four-step-MXU transform variants kept as
+recorded levers.
 
 BUDGET PROTOCOL (round-3 fix for the round-2 rc=124 timeout): the whole run
 fits an explicit wall-clock budget, ``BENCH_BUDGET_S`` (default 540 s).
@@ -25,12 +27,11 @@ silently. The CPU baseline is read from a committed cache
 regenerates it runs only when the cache misses AND the budget allows.
 
 Suite stages (each guarded; failures recorded, not fatal):
-  woodbury_pallas / woodbury_fft -- the two headline candidates (fused
-    Pallas kernel first: it has won every hardware run; fft as the
-    accuracy-gate alternative). The float64 host oracle gates the headline
-    at TRUE relative residual <= MAX_REL_RESIDUAL (the float32 rounding
-    floor at this size is 4.1e-4; merely rounding the exact solution leaves
-    that much).
+  woodbury_pallas_packed / woodbury_pallas / woodbury_fft /
+  woodbury_mxu / woodbury_mxu4 -- the headline candidates (above). The
+    float64 host oracle gates the headline at TRUE relative residual
+    <= MAX_REL_RESIDUAL (the float32 rounding floor at this size is
+    4.1e-4; merely rounding the exact solution leaves that much).
   woodbury_dft                 -- the DFT-matmul time-transform variant
     (budget-gated: it has never won the duel and once ate 882 s of wall on
     a flaky relay).
@@ -62,7 +63,12 @@ Suite stages (each guarded; failures recorded, not fatal):
     outer iterations grow on unstructured meshes; see eigbasis).
   unstructured_eig_wall        -- the WALL-SIZE unstructured direct solve
     (n=20449 interior DoFs, N_t=64): generalized-eigenbasis ParaDiag
-    (paradiag/eigbasis.py), gates <= 10 iterations and rel_f64 <= 5e-4.
+    (paradiag/eigbasis.py); on TPU the basis is BUILT in-stage by the
+    on-device SDC eigensolver (paradiag/sdc.py) with the setup seconds
+    recorded; gates rel_f64 <= 5e-4.
+  heat_2d_consistent / heat_2d_woodbury -- heat family 2D: tensor-PC
+    GMRES at 9.3M DoFs; lumped direct solve with the dword accuracy rung
+    and the manufactured error at two tau (the O(tau) order on hardware).
   breakdown                    -- per-stage cycle attribution of the
     headline (DST / fft / inverse transforms timed standalone): shows the
     solve is transform-bound and where the roofline's 'missing half' went.

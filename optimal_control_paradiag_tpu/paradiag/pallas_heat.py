@@ -116,11 +116,12 @@ def _make_kernel(refine: int):
 
 
 def build_pallas_heat_solver(
-    prob, refine: int = 1, interpret: bool = False
+    prob, refine: int = 1, interpret: bool = False, pack_fft: bool = True
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Direct solver ``b -> x`` for a :class:`models.heat.HeatControlProblem`
-    on a sine-diagonalizable space: jnp transforms (DST matmul + rfft) around
-    one fused Pallas kernel for the whole rank-2 spectral SMW pipeline."""
+    on a sine-diagonalizable space: jnp transforms (DST matmul + packed
+    two-for-one FFT by default, r5) around one fused Pallas kernel for the
+    whole rank-2 spectral SMW pipeline."""
     sp = prob.space
     if not sp.diagonalizable:
         raise ValueError("the fused heat kernel needs a sine-diagonalizable space")
@@ -196,13 +197,27 @@ def build_pallas_heat_solver(
 
     pad_width = n_pad - n
 
-    def to_spectral(x):
-        s = sp.dst(x)
-        return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+    if pack_fft:
+        from optimal_control_paradiag_tpu.ops.transforms import (
+            time_irfft_conj_packed,
+            time_rfft_conj_packed,
+        )
 
-    def from_spectral(xi):
-        t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
-        return sp.idst(t).astype(rdtype)
+        def to_spectral(x):
+            return time_rfft_conj_packed(sp.dst(x), N_t)
+
+        def from_spectral(xi):
+            return sp.idst(time_irfft_conj_packed(xi, N_t)).astype(rdtype)
+
+    else:
+
+        def to_spectral(x):
+            s = sp.dst(x)
+            return jnp.conj(jnp.fft.rfft(s, axis=1)) * (1.0 / N_t)
+
+        def from_spectral(xi):
+            t = jnp.fft.irfft(jnp.conj(xi), n=N_t, axis=1) * float(N_t)
+            return sp.idst(t).astype(rdtype)
 
     def solve(b: jnp.ndarray) -> jnp.ndarray:
         b_hat = to_spectral(b)
