@@ -62,15 +62,17 @@ def main():
     top = sorted(ops.items(), key=lambda kv: -kv[1][0])[:14]
     out = {
         "note": (
-            f"per-op TPU device time over {N_SOLVES} chained headline solves (us); "
-            "top_ops are the 'XLA Ops' thread ONLY -- the parent module envelope "
-            "('XLA Modules', the jit_run row the r4 summary double-counted) is "
-            "reported separately as module_envelope_us"
+            f"TPU device time over {N_SOLVES} chained headline solves (us). "
+            "per_solve_ms = the MODULE ENVELOPE / solves (the wall-clock the "
+            "device spent executing the program; the r4 summary double-counted "
+            "this envelope into the op sum). ops_sum_us can EXCEED the envelope "
+            "when the scheduler overlaps ops (overlap_factor > 1 = concurrency, "
+            "not double counting); top_ops are the 'XLA Ops' thread only."
         ),
-        "total_device_us": round(total_ops, 1),
-        "per_solve_ms": round(total_ops / N_SOLVES / 1e3, 3),
+        "per_solve_ms": round(total_modules / N_SOLVES / 1e3, 3),
         "module_envelope_us": round(total_modules, 1),
-        "module_envelope_per_solve_ms": round(total_modules / N_SOLVES / 1e3, 3),
+        "ops_sum_us": round(total_ops, 1),
+        "overlap_factor": round(total_ops / max(total_modules, 1e-9), 2),
         "top_ops": [
             {
                 "name": name,
@@ -84,9 +86,9 @@ def main():
     dst = os.path.join(TRACE_DIR, "summary.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"wrote {dst}: ops total {total_ops/1e3:.2f} ms "
-          f"({out['per_solve_ms']} ms/solve), module envelope "
-          f"{total_modules/1e3:.2f} ms")
+    print(f"wrote {dst}: module envelope {total_modules/1e3:.2f} ms "
+          f"({out['per_solve_ms']} ms/solve), ops sum {total_ops/1e3:.2f} ms "
+          f"(overlap x{out['overlap_factor']})")
 
 
 if __name__ == "__main__":
