@@ -777,7 +777,8 @@ def stage_unstructured_eig():
     # steps=8: the SDC f32 basis contracts ~0.18/step (vs ~1e-3 for a host
     # LAPACK basis); 8 steps reach the f32 representation floor (measured
     # ladder on v5e: steps 2/4/8/16 -> 2.6e-2 / 8.4e-4 / 6.63e-5 / 6.62e-5,
-    # /tmp ladder r5) at ~0.2 s/solve -- still direct-solve-cheap.
+    # artifacts/experiments/tpu_bench_r5.md) at ~0.13 s/solve -- still
+    # direct-solve-cheap.
     steps = 8
     fn = jax.jit(build_eig_direct_fn(prob.operator, basis, steps=steps))
     V = basis.V

@@ -286,9 +286,12 @@ def sdc_eigh(
     known-good there). ``min_frac``: minimum acceptable split balance;
     degenerate shifts are re-chosen by inertia-count bisection (each probe
     costs one sign-function evaluation)."""
+    import time as _time
+
     p = int(S.shape[0])
     stats = _stats if _stats is not None else {
-        "splits": 0, "bisect_probes": 0, "max_off": 0.0, "max_defect": 0.0, "ns_iters": []
+        "splits": 0, "bisect_probes": 0, "max_off": 0.0, "max_defect": 0.0,
+        "ns_iters": [], "phase_s": {"sign": 0.0, "split": 0.0, "leaf": 0.0, "combine": 0.0},
     }
     if _stats is None:
         sdc_eigh.last_stats = stats
@@ -296,7 +299,10 @@ def sdc_eigh(
     if p <= base_size:
         if verbose:
             print(f"[sdc] base eigh p={p} (bucket {_bucket(p, base_size)})", flush=True)
-        return _eigh_base(S, p, base_size)
+        _t0 = _time.time()
+        out = _eigh_base(S, p, base_size)
+        stats["phase_s"]["leaf"] += _time.time() - _t0
+        return out
 
     med, rbound, froS = (float(x) for x in _fence(_diag_stats_fn(p)(S)))
     sign = _sign_ns_fn(p)
@@ -311,7 +317,9 @@ def sdc_eigh(
             if verbose:
                 print(f"[sdc] sign p={p} depth={_depth} probe={probe} "
                       f"sigma={sigma:.4g}", flush=True)
+            _t0 = _time.time()
             U_c, trU, defect, ns_it = _fence(sign(S, sigma))
+            stats["phase_s"]["sign"] += _time.time() - _t0
             if verbose:
                 print(f"[sdc]   -> defect={float(defect):.2e} "
                       f"ns_iters={int(ns_it)} trU={float(trU):.2f}", flush=True)
@@ -374,6 +382,7 @@ def sdc_eigh(
             kk = k + dk
             if not 0 < kk < p:
                 continue
+            _t0 = _time.time()
             Y1 = _fence(_range_fn(p, kk, True)(S, U, np.int32(sd + 2 * attempt)))
             Y2 = _fence(_range_fn(p, p - kk, False)(S, U, np.int32(sd + 2 * attempt + 1)))
             Q1 = cholqr2(Y1, block=_BLOCK)
@@ -382,6 +391,7 @@ def sdc_eigh(
             S1, SQ1 = _fence(_project_fn(p, kk)(S, Q1))
             S2, _ = _fence(_project_fn(p, p - kk)(S, Q2))
             off_rel = float(_fence(_offdiag_fn(p, kk)(Q2, SQ1))) / max(froS, 1e-30)
+            stats["phase_s"]["split"] += _time.time() - _t0
             del SQ1
             if verbose:
                 print(f"[sdc] split p={p} depth={_depth} k={kk} (dk={dk}, "
@@ -425,8 +435,10 @@ def sdc_eigh(
         max_bisect=max_bisect, _depth=_depth + 1, _stats=stats,
     )
     del S2
+    _t0 = _time.time()
     V = _fence(_combine_fn(p, k)(Q1, Q2, W1, W2))
-    lam = _fence(_concat_fn(k, p - k)(lam1, lam2))  # below-sigma block first: ascending
+    lam = _fence(_concat_fn(k, p - k)(lam1, lam2))
+    stats["phase_s"]["combine"] += _time.time() - _t0  # below-sigma block first: ascending
     return lam, V
 
 
@@ -457,7 +469,10 @@ def pencil_eig_sdc(
     every step large-triangle-safe, see ops/blocked.py). ``lam`` returns as
     float64 numpy for the host capacity math (matching
     eigbasis.pencil_eig_*); ``V`` stays a device array."""
+    import time as _time
+
     n = int(M.shape[0])
+    _t0 = _time.time()
     Md = to_device(np.asarray(M, np.float64), dtype)
     Kd = to_device(np.asarray(K, np.float64), dtype)
     L = blocked_cholesky(Md, block=_BLOCK)
@@ -466,7 +481,15 @@ def pencil_eig_sdc(
     del Kd
     S = _fence(_sym_fn(n)(_tr_fn(n)(tri_solve_lower(L, _tr_fn(n)(X), block=_BLOCK))))
     del X
+    t_congruence = _time.time() - _t0
     lam, Q = sdc_eigh(S, base_size=base_size, seed=seed)
     del S
+    _t0 = _time.time()
     V = _fence(tri_solve_lower(L, Q, block=_BLOCK, transpose=True))
+    ph = sdc_eigh.last_stats.setdefault("phase_s", {})
+    ph["congruence"] = round(t_congruence, 1)
+    ph["back_transform"] = round(_time.time() - _t0, 1)
+    for k_ in ("sign", "split", "leaf", "combine"):
+        if k_ in ph:
+            ph[k_] = round(ph[k_], 1)
     return np.asarray(lam, np.float64), V
