@@ -83,7 +83,13 @@ from optimal_control_paradiag_tpu.ops.blocked import (
 from optimal_control_paradiag_tpu.utils.constants import to_device
 
 _HI = jax.lax.Precision.HIGHEST
-_BLOCK = 1024  # inner triangle size for the blocked kernels
+# Inner triangle size for the blocked kernels. 1024 measured best at the
+# wall (warm n=20449 runs: 252.9 s total vs 289.2 s at block 2048 -- the
+# bigger panel halves the congruence's full-matrix passes, 46.5 -> 30.3 s,
+# but the CholQR split phase regresses 83 -> 124 s because the inner
+# 2048-triangle solves sit deeper in XLA's per-128-row-panel temp
+# regime). Phase attribution lives in sdc_eigh.last_stats['phase_s'].
+_BLOCK = 1024
 
 
 def _fence(x):
